@@ -1,0 +1,146 @@
+"""Camera projection / unprojection ops.
+
+TPU-first re-design of the reference geometry (src/models/utils.py:120-175
+`get_3d_points`, :948-996 `backproject`; src/data/tsdf.py:43-68
+`depth_to_world`). All masked scatters become validity-masked dense
+gathers — no data-dependent shapes, so everything jit-compiles to static
+XLA programs and maps onto the VPU/MXU.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .coords import world_coordinates
+
+# Geometry matmuls are tiny but precision-critical (pixel rounding, pose
+# chains): always run them in full f32 on the MXU, never bf16-defaulted.
+_HI = jax.lax.Precision.HIGHEST
+
+
+def homogenize_projection(projection: jnp.ndarray) -> jnp.ndarray:
+    """(…, 3, 4) world->image projection -> (…, 4, 4) with [0,0,0,1] row."""
+    bottom = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 0.0, 1.0], dtype=projection.dtype),
+        projection.shape[:-2] + (1, 4),
+    )
+    return jnp.concatenate([projection, bottom], axis=-2)
+
+
+def get_3d_points(depth: jnp.ndarray, projection: jnp.ndarray) -> jnp.ndarray:
+    """Unproject a depth map into world-space 3D points.
+
+    Parity with reference `get_3d_points` (src/models/utils.py:120-175):
+    pixel (u, v) with depth d maps through inv([projection; 0 0 0 1]) applied
+    to (u*d, v*d, d, 1).
+
+    Args:
+        depth: (B, H, W) metric depth (0 = invalid).
+        projection: (B, 3, 4) world->image matrix (K @ pose^-1).
+
+    Returns:
+        (B, H, W, 3) world points (garbage where depth==0 — mask downstream).
+    """
+    B, H, W = depth.shape
+    u = jnp.arange(W, dtype=depth.dtype)[None, :]
+    v = jnp.arange(H, dtype=depth.dtype)[:, None]
+    uv1 = jnp.stack(
+        [jnp.broadcast_to(u, (H, W)), jnp.broadcast_to(v, (H, W)), jnp.ones((H, W), depth.dtype)],
+        axis=-1,
+    )  # (H, W, 3)
+    pts_img = uv1[None] * depth[..., None]  # (B, H, W, 3)
+    pts_img_h = jnp.concatenate([pts_img, jnp.ones_like(pts_img[..., :1])], axis=-1)
+
+    inv_proj = jnp.linalg.inv(homogenize_projection(projection))  # (B, 4, 4)
+    pts_world_h = jnp.einsum("bhwj,bij->bhwi", pts_img_h, inv_proj, precision=_HI)
+    return pts_world_h[..., :3] / pts_world_h[..., 3:4]
+
+
+def depth_to_world(projection: jnp.ndarray, depth: jnp.ndarray) -> jnp.ndarray:
+    """Single-image unprojection (reference src/data/tsdf.py:43-68).
+
+    Args:
+        projection: (3, 4)
+        depth: (H, W)
+
+    Returns:
+        (3, H*W) world points.
+    """
+    pts = get_3d_points(depth[None], projection[None])[0]  # (H, W, 3)
+    return pts.reshape(-1, 3).T
+
+
+def project_voxels(
+    voxel_dim,
+    voxel_size: float,
+    origin: jnp.ndarray,
+    projection: jnp.ndarray,
+    height: int,
+    width: int,
+):
+    """Project every voxel center into the image plane.
+
+    Shared core of `backproject` and TSDF fusion. Rounds to nearest pixel
+    (reference semantics: utils.py:979-980).
+
+    Args:
+        projection: (B, 3, 4).
+
+    Returns:
+        px, py: (B, V) int32 pixel coords (clamped in-bounds),
+        pz:     (B, V) float camera-space depth,
+        valid:  (B, V) bool — voxel projects inside the image with pz > 0.
+    """
+    world = world_coordinates(voxel_dim, voxel_size, origin)  # (3, V)
+    world_h = jnp.concatenate([world, jnp.ones_like(world[:1])], axis=0)  # (4, V)
+    camera = jnp.einsum("bij,jv->biv", projection, world_h, precision=_HI)  # (B, 3, V)
+    z = camera[:, 2]
+    safe_z = jnp.where(z == 0, 1e-8, z)
+    px = jnp.round(camera[:, 0] / safe_z).astype(jnp.int32)
+    py = jnp.round(camera[:, 1] / safe_z).astype(jnp.int32)
+    valid = (px >= 0) & (py >= 0) & (px < width) & (py < height) & (z > 0)
+    px = jnp.clip(px, 0, width - 1)
+    py = jnp.clip(py, 0, height - 1)
+    return px, py, z, valid
+
+
+def backproject(
+    voxel_dim,
+    voxel_size: float,
+    origin: jnp.ndarray,
+    projection: jnp.ndarray,
+    features: jnp.ndarray,
+):
+    """Lift 2D features along camera rays into a voxel volume.
+
+    Implements eqs. 1-2 of Atlas (arXiv:2003.10432); parity with reference
+    `backproject` (src/models/utils.py:948-996) but formulated TPU-natively:
+    the per-batch boolean-mask scatter loop becomes one dense gather over all
+    voxels with a validity mask — fixed shapes, fully fused by XLA.
+
+    Args:
+        voxel_dim: (nx, ny, nz) static ints.
+        voxel_size: metric voxel size.
+        origin: (3,) or (1, 3) world position of voxel (0,0,0).
+        projection: (B, 3, 4) world->image.
+        features: (B, C, H, W).
+
+    Returns:
+        volume: (B, C, nx, ny, nz) features replicated along rays (0 outside
+            the frustum).
+        valid:  (B, 1, nx, ny, nz) float {0,1} frustum-visibility counter.
+    """
+    B, C, H, W = features.shape
+    nx, ny, nz = (int(d) for d in voxel_dim)
+    origin = jnp.asarray(origin).reshape(-1)[:3]
+
+    px, py, pz, valid = project_voxels(voxel_dim, voxel_size, origin, projection, H, W)
+    flat_idx = py * W + px  # (B, V)
+    feat_flat = features.reshape(B, C, H * W)
+    # dense gather: voxel <- pixel feature (the projection is a gather per
+    # voxel, not a scatter — every voxel reads exactly one pixel)
+    vol = jnp.take_along_axis(feat_flat, flat_idx[:, None, :], axis=2)  # (B, C, V)
+    vol = jnp.where(valid[:, None, :], vol, 0.0)
+    volume = vol.reshape(B, C, nx, ny, nz)
+    valid_vol = valid.astype(features.dtype).reshape(B, 1, nx, ny, nz)
+    return volume, valid_vol

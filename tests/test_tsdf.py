@@ -1,0 +1,196 @@
+"""TSDF core + fusion tests: synthetic-geometry correctness, npz round-trip
+compatible with the reference layout, transform parity vs a torch oracle."""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from gennerf_tpu.tsdf import TSDF, TSDFFusion, fuse_frames
+from gennerf_tpu import ops
+
+
+def render_sphere_depth(H, W, intrinsics, pose, center, radius):
+    """Analytic depth map of a sphere (camera looking along +z)."""
+    fx, fy = intrinsics[0, 0], intrinsics[1, 1]
+    cx, cy = intrinsics[0, 2], intrinsics[1, 2]
+    us, vs = np.meshgrid(np.arange(W), np.arange(H))
+    dirs = np.stack([(us - cx) / fx, (vs - cy) / fy, np.ones_like(us, np.float64)], -1)
+    # ray: o + t * d (camera space), sphere center in camera space
+    inv = np.linalg.inv(pose)
+    c_cam = inv[:3, :3] @ center + inv[:3, 3]
+    b = (dirs * c_cam).sum(-1) / (dirs**2).sum(-1)
+    disc = b**2 - ((c_cam**2).sum() - radius**2) / (dirs**2).sum(-1)
+    hit = disc > 0
+    t = b - np.sqrt(np.where(hit, disc, 0))
+    depth = np.where(hit & (t > 0), t, 0.0)  # z-depth = t since dir_z == 1
+    return depth.astype(np.float32)
+
+
+def look_at_pose(eye, target):
+    """camera2world with +z forward, +y down-ish (vision convention)."""
+    eye, target = np.asarray(eye, np.float64), np.asarray(target, np.float64)
+    fwd = target - eye
+    fwd /= np.linalg.norm(fwd)
+    tmp = np.array([0.0, -1.0, 0.0])
+    if abs(np.dot(tmp, fwd)) > 0.95:
+        tmp = np.array([1.0, 0.0, 0.0])
+    right = np.cross(tmp, fwd)
+    right /= np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    pose = np.eye(4)
+    pose[:3, 0] = right
+    pose[:3, 1] = down
+    pose[:3, 2] = fwd
+    pose[:3, 3] = eye
+    return pose.astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def sphere_scene():
+    """8 cameras on a circle around a unit-ish sphere + GT fusion inputs."""
+    H, W = 48, 64
+    K = np.array([[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]], np.float32)
+    center = np.array([0.0, 0.0, 0.0])
+    radius = 0.5
+    projs, depths, poses = [], [], []
+    for i in range(8):
+        a = 2 * np.pi * i / 8
+        eye = np.array([2.0 * np.cos(a), 2.0 * np.sin(a), 0.3])
+        pose = look_at_pose(eye, center)
+        depth = render_sphere_depth(H, W, K, pose, center, radius)
+        proj = (K @ np.linalg.inv(pose)[:3]).astype(np.float32)
+        projs.append(proj)
+        depths.append(depth)
+        poses.append(pose)
+    return {
+        "K": K, "projs": np.stack(projs), "depths": np.stack(depths),
+        "poses": np.stack(poses), "center": center, "radius": radius,
+    }
+
+
+class TestFusion:
+    def test_sphere_fusion_zero_crossing(self, sphere_scene):
+        """Fused TSDF must change sign across the analytic sphere surface."""
+        voxel_size = 0.04
+        voxel_dim = (40, 40, 40)
+        origin = np.array([-0.8, -0.8, -0.8], np.float32)
+        state = fuse_frames(
+            voxel_dim, voxel_size, jnp.asarray(origin), voxel_size * 3,
+            jnp.asarray(sphere_scene["projs"]), jnp.asarray(sphere_scene["depths"]),
+        )
+        tsdf = np.asarray(state.tsdf / np.maximum(np.asarray(state.weight), 1))
+        tsdf = np.where(np.asarray(state.weight) > 0, tsdf, np.asarray(state.tsdf))
+        tsdf = tsdf.reshape(voxel_dim)
+
+        coords = np.asarray(ops.coordinates(voxel_dim)).T * voxel_size + origin
+        r = np.linalg.norm(coords - sphere_scene["center"], axis=-1).reshape(voxel_dim)
+        # reference sign convention (tsdf.py:404): dist = pz - depth, so
+        # observed free space saturates at -1 and behind-surface (inside the
+        # sphere, within truncation) is positive. get_mesh negates.
+        out_band = (r > 0.5 + voxel_size * 3) & (r < 0.75)
+        observed_out = out_band & (tsdf != 1)
+        assert observed_out.sum() > 100
+        assert tsdf[observed_out].mean() < -0.9
+        # just behind the surface within the truncation band: positive
+        in_band = (r < 0.5 - voxel_size) & (r > 0.5 - 2.5 * voxel_size)
+        observed_in = in_band & (tsdf != 1)
+        assert observed_in.sum() > 50
+        assert (tsdf[observed_in] > 0).mean() > 0.9
+
+        # surface localization: |tsdf| small near r == radius
+        near = np.abs(r - 0.5) < voxel_size / 2
+        assert np.abs(tsdf[near]).mean() < 0.5
+
+    def test_stateful_wrapper_matches_scan(self, sphere_scene):
+        voxel_size = 0.08
+        voxel_dim = (16, 16, 16)
+        origin = (-0.6, -0.6, -0.6)
+        fus = TSDFFusion(voxel_dim, voxel_size, origin, trunc_ratio=3, color=False)
+        for proj, depth in zip(sphere_scene["projs"], sphere_scene["depths"]):
+            fus.integrate(jnp.asarray(proj), jnp.asarray(depth))
+        a = np.asarray(fus.get_tsdf().tsdf_vol)
+
+        state = fuse_frames(
+            voxel_dim, voxel_size, jnp.asarray(np.asarray(origin, np.float32)),
+            voxel_size * 3,
+            jnp.asarray(sphere_scene["projs"]), jnp.asarray(sphere_scene["depths"]),
+        )
+        w = np.asarray(state.weight)
+        b = np.where(w > 0, np.asarray(state.tsdf) / np.maximum(w, 1), np.asarray(state.tsdf))
+        np.testing.assert_allclose(a, b.reshape(voxel_dim), rtol=1e-5, atol=1e-6)
+
+    def test_mesh_extraction_sphere(self, sphere_scene):
+        voxel_size = 0.04
+        voxel_dim = (40, 40, 40)
+        origin = (-0.8, -0.8, -0.8)
+        fus = TSDFFusion(voxel_dim, voxel_size, origin, color=False)
+        for proj, depth in zip(sphere_scene["projs"], sphere_scene["depths"]):
+            fus.integrate(jnp.asarray(proj), jnp.asarray(depth))
+        mesh = fus.get_tsdf().get_mesh()
+        assert len(mesh.vertices) > 100
+        r = np.linalg.norm(mesh.vertices - sphere_scene["center"], axis=-1)
+        # vertices lie near the sphere surface
+        assert abs(np.median(r) - 0.5) < 0.05
+
+
+class TestTSDFIO:
+    def test_npz_roundtrip_reference_layout(self, tmp_path):
+        vol = np.random.default_rng(0).uniform(-1, 1, (8, 9, 10)).astype(np.float32)
+        t = TSDF(0.04, jnp.asarray([[0.1, 0.2, 0.3]]), jnp.asarray(vol))
+        fname = os.path.join(tmp_path, "t.npz")
+        t.save(fname)
+        with np.load(fname) as data:  # reference keys present
+            assert set(["origin", "voxel_size", "tsdf"]).issubset(data.files)
+        t2 = TSDF.load(fname)
+        assert t2.voxel_size == pytest.approx(0.04)
+        np.testing.assert_allclose(np.asarray(t2.tsdf_vol), vol)
+        np.testing.assert_allclose(np.asarray(t2.origin), [[0.1, 0.2, 0.3]])
+
+
+class TestTSDFTransform:
+    def test_transform_parity_vs_torch_oracle(self):
+        """Oracle: the reference's exact transform composition in torch."""
+        rng = np.random.default_rng(1)
+        old_dim = [10, 12, 8]
+        vol = rng.uniform(-1, 1, old_dim).astype(np.float32)
+        vol[vol > 0.7] = 1.0  # some empty plateau
+        voxel_size = 0.1
+        origin = np.array([[0.2, -0.1, 0.0]], np.float32)
+
+        a = 0.4
+        transform = np.array(
+            [[np.cos(a), -np.sin(a), 0, 0.05],
+             [np.sin(a), np.cos(a), 0, -0.02],
+             [0, 0, 1, 0.01],
+             [0, 0, 0, 1]], np.float32,
+        )
+        voxel_dim = [9, 11, 7]
+        new_origin = [0.15, -0.05, 0.02]
+
+        ours = TSDF(voxel_size, jnp.asarray(origin), jnp.asarray(vol)).transform(
+            jnp.asarray(transform), voxel_dim, new_origin
+        )
+
+        # torch oracle (reference tsdf.py:233-316)
+        tvol = torch.from_numpy(vol)
+        coords = torch.from_numpy(
+            np.asarray(ops.coordinates(voxel_dim), dtype=np.float32)
+        )
+        world = coords * voxel_size + torch.tensor(new_origin).view(3, 1)
+        world = torch.cat((world, torch.ones_like(world[:1])), dim=0)
+        world = torch.from_numpy(transform[:3]) @ world
+        coords = (world - torch.from_numpy(origin).T) / voxel_size
+        coords = 2 * coords / (torch.tensor(old_dim) - 1).view(3, 1) - 1
+        coords = coords[[2, 1, 0]].T.view([1] + voxel_dim + [3])
+        near = F.grid_sample(tvol.view([1, 1] + old_dim), coords, mode="nearest", align_corners=False).squeeze()
+        bil = F.grid_sample(tvol.view([1, 1] + old_dim), coords, mode="bilinear", align_corners=False).squeeze()
+        mask = near.abs() < 1
+        near[mask] = bil[mask]
+        oob = (coords.abs() >= 1).squeeze(0).any(3)
+        near[oob] = 1
+        ref = near.numpy()
+
+        np.testing.assert_allclose(np.asarray(ours.tsdf_vol), ref, rtol=1e-4, atol=1e-4)
