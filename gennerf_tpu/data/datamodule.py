@@ -1,0 +1,233 @@
+"""ScannetDataModule: dataset selection + transform chains + loaders.
+
+Reference: src/data/datamodule.py. The loaders here are simple host-side
+iterators with background-thread prefetch (the reference used
+torch DataLoader worker processes; tar/jpeg decode is IO+PIL-bound, so
+threads overlap it with device compute without pickling overhead).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from . import transforms as T
+from .datasets import (
+    FrameDataset,
+    OneSceneDataset,
+    SceneDataset,
+    ScenesDataset,
+    ScenesSequencesDataset,
+    collate_fn,
+    parse_splits_list,
+)
+
+
+class DataLoader:
+    """Minimal map-style loader: shuffle, batch, collate, thread prefetch."""
+
+    def __init__(self, dataset, batch_size=1, shuffle=False, collate=collate_fn,
+                 drop_last=False, prefetch=2, seed=0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.collate = collate
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batches(self):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        for s in range(0, len(idx), self.batch_size):
+            chunk = idx[s : s + self.batch_size]
+            if self.drop_last and len(chunk) < self.batch_size:
+                return
+            yield self.collate([self.dataset[int(i)] for i in chunk])
+
+    def __iter__(self):
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        SENTINEL = object()
+        err = []
+
+        def worker():
+            try:
+                for b in self._batches():
+                    q.put(b)
+            except BaseException as e:  # surfaced on the main thread
+                err.append(e)
+            finally:
+                q.put(SENTINEL)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is SENTINEL:
+                break
+            yield item
+        t.join()
+        if err:
+            raise err[0]
+
+
+class ScannetDataModule:
+    """Builds datasets/loaders per stage (reference datamodule.py:11-255)."""
+
+    def __init__(self, cfg: Dict, num_devices: int = 1, seed: int = 0):
+        self.cfg = dict(cfg)
+        self.num_devices = num_devices
+        self.seed = seed
+        c = self.cfg
+        self.voxel_size = c["voxel_size"]
+        self.voxel_types = c.get("voxel_types", ["tsdf"])
+        # multi-scale voxel sizes when layers_down present (voxel net)
+        layers_down = c.get("layers_down")
+        base = int(self.voxel_size * 100)
+        if layers_down:
+            self.voxel_sizes = [base * 2**i for i in range(len(layers_down) - 1)]
+        else:
+            self.voxel_sizes = [base]
+        self.frame_types = ["depth"]
+        # global batch must divide by device count (reference datamodule.py:100-106
+        # divides by world size; under jit-sharding we keep the global size and
+        # shard axis 0, so we only validate divisibility)
+        if c.get("batch_size", 1) % max(num_devices, 1) != 0:
+            raise ValueError(
+                f"batch_size {c.get('batch_size')} not divisible by devices {num_devices}"
+            )
+
+    # -- transforms -----------------------------------------------------------
+    def get_transform(self, mode: str, rng=None):
+        """Transform chain per mode (reference datamodule.py:218-255)."""
+        c = self.cfg
+        voxel_dim = {
+            "train": c["voxel_dim_train"],
+            "val": c["voxel_dim_val"],
+            "test": c["voxel_dim_test"],
+        }[mode]
+        transforms = [T.ResizeImage((640, 480)), T.ToArray()]
+        if mode == "train":
+            transforms += [
+                T.RandomTransformSpace(
+                    voxel_dim,
+                    random_rotation=c.get("random_rotation_3d", False),
+                    random_translation=c.get("random_translation_3d", False),
+                    paddingXY=c.get("pad_xy_3d", 0.0),
+                    paddingZ=c.get("pad_z_3d", 0.0),
+                    rng=rng,
+                )
+            ]
+        else:
+            # centered transform (no augmentation)
+            transforms += [
+                T.RandomTransformSpace(
+                    voxel_dim, random_rotation=False, random_translation=False,
+                    paddingXY=c.get("pad_xy_3d", 0.0), paddingZ=c.get("pad_z_3d", 0.0),
+                    rng=rng,
+                )
+            ]
+        transforms += [T.FlattenTSDF(), T.IntrinsicsPoseToProjection()]
+        return T.Compose(transforms)
+
+    # -- datasets ---------------------------------------------------------------
+    def _info_files(self, mode: str) -> List[str]:
+        c = self.cfg
+        return parse_splits_list(c[f"datasets_{mode}"], c.get("data_dir"))
+
+    def choose_dataset(self, mode: str):
+        c = self.cfg
+        rng = np.random.default_rng(self.seed + hash(mode) % 1000)
+        transform = self.get_transform(mode, rng)
+        dtype = c.get("dataset_type", "sequences")
+        from_archive = c.get("from_archive", False)
+        common = dict(
+            transform=transform,
+            frame_types=self.frame_types,
+            voxel_types=self.voxel_types,
+            voxel_sizes=self.voxel_sizes,
+            from_archive=from_archive,
+        )
+        if dtype == "sequences":
+            return ScenesSequencesDataset(
+                self._info_files(mode),
+                sequence_amount=c[f"sequence_amount_{mode}"],
+                sequence_length=c["sequence_length"],
+                sequence_locations=c["sequence_locations"],
+                sequence_order=c["sequence_order"],
+                num_frames=c[f"num_frames_{mode}"],
+                frame_locations=c["frame_locations"],
+                frame_order=c["frame_order"],
+                rng=rng,
+                **common,
+            )
+        if dtype == "scenes":
+            return ScenesDataset(
+                self._info_files(mode),
+                num_frames=c[f"num_frames_{mode}"],
+                frame_locations=c.get("frame_selection", "evenly_spaced"),
+                frame_order=c.get("frame_order", "sorted"),
+                rng=rng,
+                **common,
+            )
+        if dtype == "frame":
+            return FrameDataset(
+                self._info_files(mode),
+                frame_idx=c["frame_idx"],
+                length=c[f"length_{mode}"],
+                scene_idx=c.get("scene_idx", 0),
+                **common,
+            )
+        if dtype == "scene":
+            return OneSceneDataset(
+                self._info_files(mode)[c.get("scene_idx", 0)],
+                frames=c[f"frames_{mode}"],
+                **common,
+            )
+        raise NotImplementedError(f"dataset_type {dtype}")
+
+    # -- loaders ---------------------------------------------------------------
+    def _loader(self, mode: str, shuffle: bool) -> DataLoader:
+        return DataLoader(
+            self.choose_dataset(mode),
+            batch_size=self.cfg.get("batch_size", 1),
+            shuffle=shuffle,
+            seed=self.seed,
+        )
+
+    def train_dataloader(self) -> DataLoader:
+        return self._loader("train", self.cfg.get("shuffle_train", True))
+
+    def val_dataloader(self) -> DataLoader:
+        return self._loader("val", self.cfg.get("shuffle_val", False))
+
+    def test_dataloader(self) -> DataLoader:
+        return self._loader("test", self.cfg.get("shuffle_test", False))
+
+    def predict_dataloader(self) -> DataLoader:
+        c = dict(self.cfg)
+        ds = ScenesDataset(
+            self._info_files("test"),
+            num_frames=c.get("num_frames_test", -1),
+            frame_locations=c.get("frame_selection", "evenly_spaced"),
+            frame_order=c.get("frame_order", "sorted"),
+            transform=None,
+            frame_types=self.frame_types,
+            voxel_types=self.voxel_types,
+            voxel_sizes=self.voxel_sizes,
+            from_archive=c.get("from_archive", False),
+            voxel_dim=c["voxel_dim_test"],
+        )
+        return DataLoader(ds, batch_size=1, shuffle=False, seed=self.seed)

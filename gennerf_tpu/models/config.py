@@ -1,0 +1,278 @@
+"""Frozen model-config dataclasses.
+
+Field names mirror the reference Hydra config surface
+(configs/model/gen_nerf.yaml, configs/model/voxel_net.yaml) so experiment
+YAMLs translate 1:1. All are hashable (frozen, tuples) so they can be flax
+Module attributes / jit static args.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+def _tup(x):
+    return tuple(x) if isinstance(x, (list, tuple)) else x
+
+
+@dataclasses.dataclass(frozen=True)
+class SpatialEncoderConfig:
+    backbone: str = "resnet34"
+    pretrained: bool = True
+    num_layers: int = 4
+    index_interp: str = "bilinear"
+    index_padding: str = "border"
+    upsample_interp: str = "bilinear"
+    feature_scale: float = 2.0
+    use_first_pool: bool = True
+    norm_type: str = "batch"
+    blur_image: bool = True
+    kernel_size: int = 41
+    sigma: float = 10.0
+
+
+@dataclasses.dataclass(frozen=True)
+class PointnetConfig:
+    num_sparse_points: int = 512
+    c_dim: int = 32
+    dim: int = 3
+    padding: float = 0.1
+    hidden_dim: int = 32
+    scatter_type: str = "max"
+    plane_type: Tuple[str, ...] = ("xz", "xy", "yz")
+    plane_resolution: int = 128
+    n_blocks: int = 5
+    unet: bool = True
+    unet_depth: int = 5
+    unet_merge_mode: str = "concat"
+    unet_start_filts: int = 32
+    sample_mode: str = "bilinear"
+
+
+@dataclasses.dataclass(frozen=True)
+class PlaneMergerConfig:
+    strategy: str = "average"
+    alpha: float = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    use_spatial: bool = True
+    spatial: SpatialEncoderConfig = SpatialEncoderConfig()
+    use_pointnet: bool = True
+    pointnet: PointnetConfig = PointnetConfig()
+    plane_merger: PlaneMergerConfig = PlaneMergerConfig()
+    use_auxiliary: bool = False
+    auxiliary_dim: int = 0  # teacher 2D feature channels when use_auxiliary
+
+
+@dataclasses.dataclass(frozen=True)
+class MlpConfig:
+    d_out_sem: int = 32
+    d_out_geo: int = 32
+    n_blocks: int = 5
+    d_hidden: int = 512
+    combine_layer: int = 1000
+    combine_type: str = "average"
+    beta: float = 0.0
+    use_spade: bool = False
+    use_layer_norm: bool = False
+    alpha: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class CodeConfig:
+    num_freqs: int = 2
+    freq_factor: float = 0.5
+    include_input: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class RayConfig:
+    num_rays: int = 100
+    N: int = 20
+    M: int = 8
+    d_min: float = 0.07
+    delta: float = 0.1
+    sigma: float = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class FrustumConfig:
+    N_free: int = 384
+    N_near: int = 128
+    N_surf: int = 128
+    sigma: float = 0.1
+    d_min: float = 0.5
+    d_max: float = 4.0
+
+
+@dataclasses.dataclass(frozen=True)
+class TsdfLossConfig:
+    weight: float = 1.0
+    transform: str = "smooth_log"  # 'log' | 'smooth_log' | 'none'
+    shift: float = 20.0
+    smoothness: float = 8.0
+
+
+@dataclasses.dataclass(frozen=True)
+class IsdfLossConfig:
+    weight: float = 1.0
+    free_space_factor: float = 5.0
+    trunc_weight: float = 5.0
+
+
+@dataclasses.dataclass(frozen=True)
+class EikonalLossConfig:
+    weight: float = 0.25
+    apply_distance: float = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class GradientLossConfig:
+    weight: float = 0.02
+
+
+@dataclasses.dataclass(frozen=True)
+class FeatureLossConfig:
+    weight: float = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    use_tsdf: bool = True
+    tsdf: TsdfLossConfig = TsdfLossConfig()
+    use_isdf: bool = False
+    isdf: IsdfLossConfig = IsdfLossConfig()
+    use_eikonal: bool = False
+    eikonal: EikonalLossConfig = EikonalLossConfig()
+    use_gradient: bool = False
+    gradient: GradientLossConfig = GradientLossConfig()
+    use_feature: bool = False
+    feature: FeatureLossConfig = FeatureLossConfig()
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    type: str = "Adam"
+    lr: float = 0.001
+    weight_decay: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class SchedulerConfig:
+    type: str = "StepLR"
+    step_size: int = 300
+    gamma: float = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class GenNerfConfig:
+    type: str = "GenNerf"
+    voxel_size: float = 0.04
+    voxel_dim_train: Tuple[int, int, int] = (160, 160, 64)
+    voxel_dim_val: Tuple[int, int, int] = (256, 256, 96)
+    voxel_dim_test: Tuple[int, int, int] = (416, 416, 128)
+    sampling_mode: str = "ray"  # 'ray' | 'frustum'
+    ray: RayConfig = RayConfig()
+    frustum: FrustumConfig = FrustumConfig()
+    encoder: EncoderConfig = EncoderConfig()
+    mlp: MlpConfig = MlpConfig()
+    use_code: bool = True
+    code: CodeConfig = CodeConfig()
+    loss: LossConfig = LossConfig()
+    optimizer: OptimizerConfig = OptimizerConfig()
+    scheduler: SchedulerConfig = SchedulerConfig()
+
+    @property
+    def encoder_latent(self) -> int:
+        from .spatial_encoder import spatial_latent_size
+
+        d = 0
+        if self.encoder.use_spatial:
+            d += spatial_latent_size(self.encoder.spatial.backbone, self.encoder.spatial.num_layers)
+        if self.encoder.use_pointnet:
+            d += self.encoder.pointnet.c_dim
+        if self.encoder.use_auxiliary:
+            d += self.encoder.auxiliary_dim
+        return d
+
+
+@dataclasses.dataclass(frozen=True)
+class Backbone3dConfig:
+    channels: Tuple[int, ...] = (32, 64, 128, 256)
+    layers_down: Tuple[int, ...] = (1, 2, 3, 4)
+    layers: Tuple[int, ...] = (3, 2, 1)
+    norm: str = "BN"
+    drop: float = 0.0
+    conditional_skip: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class HeadsConfig:
+    use_tsdf: bool = True
+    tsdf_multi_scale: bool = True
+    tsdf_loss_weight: float = 1.0
+    tsdf_label_smoothing: float = 1.05
+    tsdf_loss_split: str = "pred"
+    tsdf_loss_log_transform: bool = True
+    tsdf_loss_log_transform_shift: float = 1.0
+    tsdf_sparse_threshold: Tuple[float, ...] = (0.99, 0.99, 0.99)
+
+
+@dataclasses.dataclass(frozen=True)
+class VoxelNetConfig:
+    type: str = "VoxelNet"
+    voxel_size: float = 0.04
+    voxel_dim_train: Tuple[int, int, int] = (160, 160, 64)
+    voxel_dim_val: Tuple[int, int, int] = (256, 256, 96)
+    voxel_dim_test: Tuple[int, int, int] = (416, 416, 128)
+    encoder: EncoderConfig = EncoderConfig(
+        use_pointnet=False,
+        spatial=SpatialEncoderConfig(blur_image=False),
+    )
+    backbone3d: Backbone3dConfig = Backbone3dConfig()
+    heads: HeadsConfig = HeadsConfig()
+    optimizer: OptimizerConfig = OptimizerConfig()
+    scheduler: SchedulerConfig = SchedulerConfig()
+
+
+def config_from_dict(cls, d: dict):
+    """Recursively build a frozen config dataclass from a (nested) dict,
+    ignoring unknown keys that the reference configs carry for bookkeeping
+    (output_dir, teacher, compile, ...) and flattening `unet_kwargs`-style
+    sub-dicts onto prefixed fields."""
+    kwargs = {}
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    for key, value in dict(d).items():
+        # reference spells UNet params as a nested unet_kwargs dict
+        if key == "unet_kwargs" and isinstance(value, dict):
+            for k2, v2 in value.items():
+                name = f"unet_{k2}" if f"unet_{k2}" in fields else k2
+                if name in fields:
+                    kwargs[name] = _deep_tuple(v2) if isinstance(v2, list) else v2
+            continue
+        if key not in fields:
+            # flatten nested dicts onto prefixed flat fields
+            # (e.g. heads.tsdf.multi_scale -> tsdf_multi_scale)
+            if isinstance(value, dict):
+                for k2, v2 in value.items():
+                    name = f"{key}_{k2}"
+                    if name in fields:
+                        kwargs[name] = _deep_tuple(v2) if isinstance(v2, list) else v2
+            continue
+        f = fields[key]
+        default = f.default if f.default is not dataclasses.MISSING else None
+        if dataclasses.is_dataclass(default) and isinstance(value, dict):
+            kwargs[key] = config_from_dict(type(default), value)
+        elif isinstance(value, list):
+            kwargs[key] = _deep_tuple(value)
+        else:
+            kwargs[key] = value
+    return cls(**kwargs)
+
+
+def _deep_tuple(x):
+    if isinstance(x, list):
+        return tuple(_deep_tuple(v) for v in x)
+    return x

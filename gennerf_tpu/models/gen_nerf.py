@@ -1,0 +1,261 @@
+"""GenNerf: generalizable neural field for scene-level TSDF reconstruction.
+
+Reference: src/models/model.py (GenNerf LightningModule). TPU-first
+re-design:
+
+  * The stateful accumulator contract ("encode() may be called multiple
+    times", model.py:77-150, mutating self.volume/self.valid/self.c_plane)
+    becomes an explicit functional fold: `encode` consumes (B, T, ...) frame
+    stacks and `lax.scan`s the volume accumulation over T at O(1) memory,
+    returning an immutable `SceneRepr` pytree. Streaming/incremental use
+    maps to `merge_scene_reprs` on successive encodes.
+  * The decoder is a pure function of (params, SceneRepr, xyz) — N query
+    points batch into one (B·N, d) MLP pass on the MXU; gradients of TSDF
+    w.r.t. xyz (eikonal) come from jax.vjp instead of autograd.grad
+    (reference needed custom double-backward grid_sample, utils.py:1117).
+
+Feature layout parity (model.py:163-248): decoder latent =
+[triplane features (c_dim) ; volume features (spatial)...]; the MLP treats
+PE(xyz) as its per-block injected latent (d_latent) and the encoder features
+as its input (d_in) — note the reference's inverted naming.
+"""
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.coords import normalize_coordinate
+from ..ops.interpolation import sample_plane_feature, trilinear_interpolation
+from ..ops.projection import backproject, get_3d_points
+from ..ops.sampling import farthest_point_sample
+from .config import GenNerfConfig
+from .heads import TSDFHeadSimple
+from .pointnet import FeaturePlaneMerger, LocalPoolPointnet
+from .positional_encoding import positional_encoding, positional_encoding_dim
+from .resnetfc import ResnetFC
+from .spatial_encoder import SpatialEncoder
+
+
+class SceneRepr(NamedTuple):
+    """Immutable scene encoding (the reference's self.volume/self.valid/
+    self.c_plane triple)."""
+
+    volume: Optional[jnp.ndarray]  # (B, C, nx, ny, nz) accumulated features
+    valid: Optional[jnp.ndarray]   # (B, 1, nx, ny, nz) observation counts
+    planes: Optional[Dict[str, jnp.ndarray]]  # plane -> (B, c_dim, r, r)
+
+
+class GenNerf(nn.Module):
+    cfg: GenNerfConfig
+    teacher: Optional[nn.Module] = None  # VLM teacher for use_auxiliary
+
+    def setup(self):
+        enc = self.cfg.encoder
+        if enc.use_spatial:
+            s = enc.spatial
+            self.spatial = SpatialEncoder(
+                backbone=s.backbone,
+                num_layers=s.num_layers,
+                upsample_interp=s.upsample_interp,
+                feature_scale=s.feature_scale,
+                use_first_pool=s.use_first_pool,
+                norm_type=s.norm_type,
+                blur_image=s.blur_image,
+                kernel_size=s.kernel_size,
+                sigma=s.sigma,
+            )
+        if enc.use_pointnet:
+            p = enc.pointnet
+            self.pointnet = LocalPoolPointnet(
+                c_dim=p.c_dim,
+                dim=p.dim,
+                hidden_dim=p.hidden_dim,
+                scatter_type=p.scatter_type,
+                use_unet=p.unet,
+                unet_depth=p.unet_depth,
+                unet_merge_mode=p.unet_merge_mode,
+                unet_start_filts=p.unet_start_filts,
+                plane_resolution=p.plane_resolution,
+                plane_type=p.plane_type,
+                padding=p.padding,
+                n_blocks=p.n_blocks,
+            )
+            self.merger = FeaturePlaneMerger(
+                strategy=enc.plane_merger.strategy,
+                alpha=enc.plane_merger.alpha,
+                c_dim=p.c_dim,
+            )
+        d_code = (
+            positional_encoding_dim(self.cfg.code.num_freqs, 3, self.cfg.code.include_input)
+            if self.cfg.use_code
+            else 3
+        )
+        m = self.cfg.mlp
+        self.mlp = ResnetFC(
+            d_in=self.cfg.encoder_latent,
+            d_out=m.d_out_geo + m.d_out_sem,
+            n_blocks=m.n_blocks,
+            d_latent=d_code,
+            d_hidden=m.d_hidden,
+            beta=m.beta,
+            combine_layer=m.combine_layer,
+            combine_type=m.combine_type,
+            use_spade=m.use_spade,
+            use_layer_norm=m.use_layer_norm,
+            alpha=m.alpha,
+        )
+        self.head_geo = TSDFHeadSimple()
+
+    # -- encoder -------------------------------------------------------------
+    def encode(
+        self,
+        projection: jnp.ndarray,
+        image: jnp.ndarray,
+        depth: jnp.ndarray,
+        key: jax.Array,
+        voxel_dim: Tuple[int, int, int],
+        origin: jnp.ndarray,
+        train: bool = False,
+    ) -> SceneRepr:
+        """Encode T posed RGB-D frames into the scene representation.
+
+        Args:
+            projection: (B, T, 3, 4) world->image.
+            image: (B, T, 3, H, W).
+            depth: (B, T, H, W).
+            key: rng for FPS seeding.
+            voxel_dim: static (nx, ny, nz) of the feature volume.
+            origin: (3,) world origin of the volume.
+
+        Returns:
+            SceneRepr.
+        """
+        cfg = self.cfg
+        enc = cfg.encoder
+        B, T = projection.shape[:2]
+
+        volume = valid = None
+        if enc.use_spatial or enc.use_auxiliary:
+            # flax modules can't be called inside lax.scan body across module
+            # boundaries; run the 2D encoder on the folded (B*T) frame axis
+            # (one big batched conv pass — better MXU utilization than a
+            # python loop), then scan the backprojection accumulation.
+            images_bt = image.reshape(B * T, *image.shape[2:])
+            feat_2d = []
+            if enc.use_spatial:
+                feat_2d.append(self.spatial(images_bt, train=train))
+            if enc.use_auxiliary and self.teacher is not None:
+                feat_2d.append(self.teacher(images_bt))
+            feat_2d = jnp.concatenate(feat_2d, axis=1)  # (B*T, C, H', W')
+            C, Hf, Wf = feat_2d.shape[1:]
+            feat_t = feat_2d.reshape(B, T, C, Hf, Wf).transpose(1, 0, 2, 3, 4)
+            # depth intrinsics scale: features are at H' = H*fs/2; the
+            # reference backprojects with the *original* projection against
+            # the feature map's pixel grid (spatial encoder halves
+            # resolution), so projections must be rescaled to feature pixels.
+            H, W = image.shape[-2:]
+            scale = jnp.array([Wf / W, Hf / H, 1.0], jnp.float32).reshape(1, 3, 1)
+            proj_t = projection.transpose(1, 0, 2, 3) * scale  # (T, B, 3, 4)
+
+            def fold(carry, xs):
+                vol_acc, val_acc = carry
+                proj, feat = xs
+                vol, val = backproject(voxel_dim, cfg.voxel_size, origin, proj, feat)
+                return (vol_acc + vol, val_acc + val), None
+
+            nx, ny, nz = voxel_dim
+            init = (
+                jnp.zeros((B, C, nx, ny, nz), feat_2d.dtype),
+                jnp.zeros((B, 1, nx, ny, nz), feat_2d.dtype),
+            )
+            (volume, valid), _ = jax.lax.scan(fold, init, (proj_t, feat_t))
+
+        planes = None
+        if enc.use_pointnet:
+            npoint = enc.pointnet.num_sparse_points
+            # FPS each frame's unprojected depth map, batched over (B*T)
+            xyz_map = get_3d_points(
+                depth.reshape(B * T, *depth.shape[2:]),
+                projection.reshape(B * T, 3, 4),
+            )  # (B*T, H, W, 3)
+            xyz = xyz_map.reshape(B * T, -1, 3)
+            # invalid (depth==0) points unproject to the camera center —
+            # harmless for FPS sparsification as in the reference
+            sparse, _ = farthest_point_sample(key, xyz, npoint)  # (B*T, npoint, 3)
+            accum = sparse.reshape(B, T, npoint, 3).reshape(B, T * npoint, 3)
+            planes = self.pointnet(accum)
+
+        return SceneRepr(volume=volume, valid=valid, planes=planes)
+
+    def merge(self, new: SceneRepr, old: SceneRepr) -> SceneRepr:
+        """Fold a new encode into a running representation (the reference's
+        'encode can be called multiple times' contract, model.py:80-82)."""
+        volume = new.volume if old.volume is None else old.volume + new.volume
+        valid = new.valid if old.valid is None else old.valid + new.valid
+        planes = new.planes if old.planes is None else self.merger(new.planes, old.planes)
+        return SceneRepr(volume, valid, planes)
+
+    # -- decoder -------------------------------------------------------------
+    def map_features(self, repr: SceneRepr, xyz: jnp.ndarray, origin: jnp.ndarray) -> jnp.ndarray:
+        """Gather per-point features from the scene representation
+        (reference model.py:163-204)."""
+        cfg = self.cfg
+        feats = []
+        if cfg.encoder.use_pointnet and repr.planes is not None:
+            p = cfg.encoder.pointnet
+            feat_pn = 0.0
+            for plane in ("xz", "xy", "yz"):
+                if plane in repr.planes:
+                    coords = normalize_coordinate(xyz, padding=p.padding, plane=plane)
+                    feat_pn += sample_plane_feature(repr.planes[plane], coords, mode=p.sample_mode)
+            feats.append(feat_pn)
+        if repr.volume is not None:
+            vol = repr.volume / jnp.maximum(repr.valid, 1e-12)
+            vol = jnp.where(repr.valid > 0, vol, 0.0)
+            vol_cl = vol.transpose(0, 2, 3, 4, 1)  # channels-last
+            feats.append(trilinear_interpolation(vol_cl, xyz, origin, cfg.voxel_size))
+        return jnp.concatenate(feats, axis=-1)
+
+    def decode(self, repr: SceneRepr, xyz: jnp.ndarray, origin: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        """Predict (feat_geo, feat_sem, tsdf) at world points xyz (B, N, 3)
+        (reference model.py:207-248)."""
+        cfg = self.cfg
+        B, N, _ = xyz.shape
+        feat = self.map_features(repr, xyz, origin)
+        code = (
+            positional_encoding(
+                xyz.reshape(-1, 3),
+                cfg.code.num_freqs,
+                cfg.code.freq_factor,
+                cfg.code.include_input,
+            ).reshape(B, N, -1)
+            if cfg.use_code
+            else xyz
+        )
+        mlp_in = jnp.concatenate([code, feat], axis=-1)
+        mlp_out = self.mlp(mlp_in)
+        d_geo = cfg.mlp.d_out_geo
+        feat_geo = mlp_out[..., :d_geo]
+        feat_sem = mlp_out[..., d_geo:]
+        tsdf = self.head_geo(feat_geo)
+        return {"feat_geo": feat_geo, "feat_sem": feat_sem, "tsdf": tsdf, "feat": feat}
+
+    def decode_with_grad(self, repr: SceneRepr, xyz: jnp.ndarray, origin: jnp.ndarray):
+        """Decode plus d(tsdf)/d(xyz) (for eikonal/gradient losses).
+
+        jax.vjp with a ones cotangent == the reference's autograd.grad
+        (utils.py:636-648), but needs no double-backward-safe custom ops.
+        """
+        outputs, vjp_fn = jax.vjp(lambda p: self.decode(repr, p, origin)["tsdf"], xyz)
+        (grad,) = vjp_fn(jnp.ones_like(outputs))
+        out = self.decode(repr, xyz, origin)
+        out["grad"] = grad
+        return out
+
+    def __call__(self, projection, image, depth, xyz, key, voxel_dim, origin, train: bool = False):
+        """Convenience end-to-end pass (used for init and the graft entry)."""
+        repr = self.encode(projection, image, depth, key, tuple(voxel_dim), origin, train=train)
+        return self.decode(repr, xyz, origin)

@@ -1,0 +1,119 @@
+"""GenNerf loss terms.
+
+Reference: src/models/model.py:331-470. Pure functions of (cfg, outputs,
+targets) returning per-element loss matrices plus the aggregated dict, so
+the whole loss is one fused XLA program inside the train step.
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.value_transforms import log_transform, smooth_log_transform
+from .config import LossConfig
+
+
+def loss_tsdf(cfg: LossConfig, outputs, targets) -> jnp.ndarray:
+    """L1 on (optionally log-rescaled) TSDF (reference model.py:331-358)."""
+    pred = outputs["tsdf"]
+    trgt = targets["tsdf"]
+    t = cfg.tsdf
+    if t.transform == "log":
+        pred = log_transform(pred, t.shift)
+        trgt = log_transform(trgt, t.shift)
+    elif t.transform == "smooth_log":
+        pred = smooth_log_transform(pred, t.shift, t.smoothness)
+        trgt = smooth_log_transform(trgt, t.shift, t.smoothness)
+    elif t.transform != "none":
+        raise NotImplementedError(f"tsdf transform {t.transform}")
+    return jnp.abs(pred - trgt)
+
+
+def loss_isdf(cfg: LossConfig, outputs, targets) -> jnp.ndarray:
+    """iSDF combined free-space/near-surface loss (model.py:360-383;
+    arXiv:2204.02296)."""
+    pred = outputs["tsdf"]
+    trgt = targets["tsdf"]
+    c = cfg.isdf
+    term1 = jnp.exp(-c.free_space_factor * pred) - 1.0
+    term2 = pred - trgt
+    loss_free = jnp.maximum(jax.nn.relu(term1), term2)
+    loss_near = jnp.abs(pred - trgt) * c.trunc_weight
+    mask = (trgt <= 1.0).astype(pred.dtype)
+    return mask * loss_near + (1 - mask) * loss_free
+
+
+def loss_eikonal(cfg: LossConfig, outputs, targets) -> jnp.ndarray:
+    """Unit-gradient-norm regularizer (model.py:385-397; arXiv:2002.10099)."""
+    tsdf = targets["tsdf"]  # (B, N, 1)
+    grad = outputs["grad"]  # (B, N, 3)
+    gnorm = jnp.linalg.norm(grad, axis=-1)
+    loss = jnp.abs(gnorm - 1.0)[..., None]
+    return jnp.where(tsdf < cfg.eikonal.apply_distance, 0.0, loss)
+
+
+def loss_gradient(cfg: LossConfig, outputs, targets, num_rays: int) -> jnp.ndarray:
+    """Cosine distance between predicted TSDF gradients and geometric
+    normals / ray-bound gradients (model.py:399-423)."""
+    sampled_normals = targets["sampled_normals"]  # (B, R, 3)
+    grad_vec = targets["grad_vec"]  # (B, R, N+M, 3)
+    B = sampled_normals.shape[0]
+    grad = outputs["grad"].reshape(B, num_rays, -1, 3)  # (B, R, 1+N+M, 3)
+
+    def cos(a, b):
+        num = (a * b).sum(-1)
+        den = jnp.maximum(jnp.linalg.norm(a, axis=-1) * jnp.linalg.norm(b, axis=-1), 1e-6)
+        return num / den
+
+    surf_loss = 1.0 - cos(sampled_normals, grad[:, :, 0])  # (B, R)
+    # replace NaN bound-gradients (sample == surface point) with the normal
+    nan_mask = jnp.isnan(grad_vec[..., :1])
+    grad_vec = jnp.where(nan_mask, sampled_normals[:, :, None], grad_vec)
+    grad_loss = 1.0 - cos(grad_vec, grad[:, :, 1:])  # (B, R, N+M)
+    loss = jnp.concatenate([surf_loss[:, :, None], grad_loss], axis=2)
+    return loss.reshape(B, -1, 1)
+
+
+def loss_feat(cfg: LossConfig, outputs, targets) -> jnp.ndarray:
+    """Encourage non-degenerate encoder features (model.py:426-430)."""
+    feat = outputs["feat"]
+    contribution = jnp.linalg.norm(feat, axis=-1).mean()
+    return 1.0 / jnp.maximum(contribution, 1e-12)
+
+
+def calculate_loss(
+    cfg: LossConfig, outputs, targets, num_rays: int = 0
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Weighted sum of enabled terms (reference model.py:432-470).
+
+    Returns:
+        (scalar combined loss, dict of per-term scalar means incl 'combined').
+    """
+    assert cfg.use_tsdf or cfg.use_isdf
+    losses: Dict[str, jnp.ndarray] = {}
+    loss_mat = 0.0
+    if cfg.use_tsdf:
+        m = loss_tsdf(cfg, outputs, targets)
+        losses["tsdf"] = m.mean()
+        loss_mat = loss_mat + cfg.tsdf.weight * m
+    if cfg.use_isdf:
+        m = loss_isdf(cfg, outputs, targets)
+        losses["isdf"] = m.mean()
+        loss_mat = loss_mat + cfg.isdf.weight * m
+    if cfg.use_eikonal:
+        m = loss_eikonal(cfg, outputs, targets)
+        losses["eikonal"] = m.mean()
+        loss_mat = loss_mat + cfg.eikonal.weight * m
+    if cfg.use_gradient:
+        m = loss_gradient(cfg, outputs, targets, num_rays)
+        losses["gradient"] = m.mean()
+        loss_mat = loss_mat + cfg.gradient.weight * m
+    if cfg.use_feature:
+        m = loss_feat(cfg, outputs, targets)
+        losses["feature"] = m.mean()
+        loss_mat = loss_mat + cfg.feature.weight * m
+    combined = loss_mat.mean() if hasattr(loss_mat, "mean") else loss_mat
+    losses["combined"] = combined
+    return combined, losses

@@ -1,0 +1,119 @@
+"""Local-pooling PointNet triplane encoder (ConvONet-derived).
+
+Reference: src/models/components/pointnet.py:13-189. Per-point MLP with
+ResNet FC blocks interleaved with local scatter-pooling over plane cells;
+final features scattered (mean) onto reso² triplanes, optionally smoothed by
+a 2D U-Net per plane.
+
+TPU re-design: torch_scatter kernels become static-segment-count segment
+reductions (ops/scatter.py) — XLA lowers these to efficient sorted scatters;
+every matmul is a clean (N, C) x (C, C') MXU tile.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.coords import coordinate2index, normalize_coordinate
+from ..ops.scatter import pool_and_gather, scatter_to_plane
+from .common import he_normal, zeros_init
+from .resnetfc import ResnetBlockFC
+from .unet import UNet
+
+
+class LocalPoolPointnet(nn.Module):
+    """Encode (B, N, 3) point clouds into triplane feature maps.
+
+    Attributes mirror the reference config surface
+    (configs/model/gen_nerf.yaml:52-68).
+    """
+
+    c_dim: int = 128
+    dim: int = 3
+    hidden_dim: int = 128
+    scatter_type: str = "max"  # local pooling reduce: 'max' | 'mean'
+    use_unet: bool = False
+    unet_depth: int = 5
+    unet_merge_mode: str = "concat"
+    unet_start_filts: int = 32
+    plane_resolution: int = 128
+    plane_type: Sequence[str] = ("xz", "xy", "yz")
+    padding: float = 0.1
+    n_blocks: int = 5
+
+    @nn.compact
+    def __call__(self, p: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        """
+        Args:
+            p: (B, N, 3) world points (roughly within the padded unit cube).
+
+        Returns:
+            dict plane -> (B, c_dim, reso, reso).
+        """
+        reso = self.plane_resolution
+        num_cells = reso * reso
+
+        index = {}
+        for plane in self.plane_type:
+            coord = normalize_coordinate(p, padding=self.padding, plane=plane)
+            index[plane] = coordinate2index(coord, reso)  # (B, N)
+
+        net = nn.Dense(2 * self.hidden_dim, name="fc_pos")(p)
+        net = ResnetBlockFC(size_out=self.hidden_dim, name="block_0")(net)
+        for i in range(1, self.n_blocks):
+            pooled = 0
+            for plane in self.plane_type:
+                pooled += pool_and_gather(net, index[plane], num_cells, self.scatter_type)
+            net = jnp.concatenate([net, pooled], axis=-1)
+            net = ResnetBlockFC(size_out=self.hidden_dim, name=f"block_{i}")(net)
+
+        c = nn.Dense(self.c_dim, name="fc_c")(net)  # (B, N, c_dim)
+
+        unet = (
+            UNet(
+                self.c_dim,
+                depth=self.unet_depth,
+                start_filts=self.unet_start_filts,
+                merge_mode=self.unet_merge_mode,
+                name="unet",
+            )
+            if self.use_unet
+            else None
+        )  # one UNet shared across the three planes (reference pointnet.py:50)
+
+        fea = {}
+        for plane in self.plane_type:
+            plane_fea = scatter_to_plane(c, index[plane], reso, reduce="mean")
+            if unet is not None:
+                plane_fea = unet(plane_fea)
+            fea[plane] = plane_fea
+        return fea
+
+
+class FeaturePlaneMerger(nn.Module):
+    """Merge triplane dicts across successive encode calls
+    (reference src/models/components/plane_merger.py)."""
+
+    strategy: str = "average"  # 'average' | 'learn'
+    alpha: float = 0.5
+    c_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(
+        self, plane_1: Dict[str, jnp.ndarray], plane_2: Dict[str, jnp.ndarray]
+    ) -> Dict[str, jnp.ndarray]:
+        if self.strategy == "average":
+            return {
+                k: self.alpha * plane_1[k] + (1 - self.alpha) * plane_2[k]
+                for k in plane_1
+            }
+        if self.strategy == "learn":
+            conv = nn.Conv(self.c_dim, (1, 1), name="merge_conv")
+            out = {}
+            for k in plane_1:
+                combined = jnp.concatenate([plane_1[k], plane_2[k]], axis=1)
+                out[k] = conv(combined.transpose(0, 2, 3, 1)).transpose(0, 3, 1, 2)
+            return out
+        raise NotImplementedError(f"merge strategy {self.strategy}")

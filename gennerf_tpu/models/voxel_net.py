@@ -1,0 +1,116 @@
+"""VoxelNet: Atlas-style dense voxel TSDF model.
+
+Reference: src/models/voxel_net.py — per-frame 2D features back-projected
+and accumulated into a voxel volume (same fold as GenNerf), refined by the
+3D encoder-decoder, regressed to multi-scale TSDF volumes by VoxelHeads.
+"""
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.projection import backproject
+from .backbone3d import EncoderDecoder
+from .config import VoxelNetConfig
+from .heads import VoxelHeads
+from .spatial_encoder import SpatialEncoder
+
+
+class VolumeRepr(NamedTuple):
+    volume: jnp.ndarray  # (B, C, nx, ny, nz)
+    valid: jnp.ndarray   # (B, 1, nx, ny, nz)
+
+
+class VoxelNet(nn.Module):
+    cfg: VoxelNetConfig
+
+    def setup(self):
+        s = self.cfg.encoder.spatial
+        self.spatial = SpatialEncoder(
+            backbone=s.backbone,
+            num_layers=s.num_layers,
+            upsample_interp=s.upsample_interp,
+            feature_scale=s.feature_scale,
+            use_first_pool=s.use_first_pool,
+            norm_type=s.norm_type,
+            blur_image=s.blur_image,
+            kernel_size=s.kernel_size,
+            sigma=s.sigma,
+            out_channels=self.cfg.backbone3d.channels[0],  # reference voxel_net.py:40
+        )
+        b = self.cfg.backbone3d
+        self.backbone3d = EncoderDecoder(
+            channels=b.channels,
+            layers_down=b.layers_down,
+            layers_up=b.layers,
+            norm=b.norm,
+            drop=b.drop,
+            cond_proj=b.conditional_skip,
+        )
+        h = self.cfg.heads
+        self.heads3d = VoxelHeads(
+            channels=b.channels,
+            voxel_size=self.cfg.voxel_size,
+            use_tsdf=h.use_tsdf,
+            tsdf_multi_scale=h.tsdf_multi_scale,
+            tsdf_loss_weight=h.tsdf_loss_weight,
+            tsdf_label_smoothing=h.tsdf_label_smoothing,
+            tsdf_loss_split=h.tsdf_loss_split,
+            tsdf_loss_log_transform=h.tsdf_loss_log_transform,
+            tsdf_loss_log_transform_shift=h.tsdf_loss_log_transform_shift,
+            tsdf_sparse_threshold=h.tsdf_sparse_threshold,
+        )
+
+    @property
+    def voxel_sizes(self):
+        final = int(self.cfg.voxel_size * 100)
+        return [final * 2**i for i in range(len(self.cfg.backbone3d.layers_down) - 1)]
+
+    def encode(
+        self,
+        projection: jnp.ndarray,
+        image: jnp.ndarray,
+        depth: jnp.ndarray,
+        voxel_dim: Tuple[int, int, int],
+        origin: jnp.ndarray,
+        train: bool = False,
+    ) -> VolumeRepr:
+        """(B, T, ...) frames -> accumulated feature volume (scan over T)."""
+        cfg = self.cfg
+        B, T = projection.shape[:2]
+        images_bt = image.reshape(B * T, *image.shape[2:])
+        feat_2d = self.spatial(images_bt, train=train)  # (B*T, C, H', W')
+        C, Hf, Wf = feat_2d.shape[1:]
+        feat_t = feat_2d.reshape(B, T, C, Hf, Wf).transpose(1, 0, 2, 3, 4)
+        H, W = image.shape[-2:]
+        scale = jnp.array([Wf / W, Hf / H, 1.0], jnp.float32).reshape(1, 3, 1)
+        proj_t = projection.transpose(1, 0, 2, 3) * scale
+
+        def fold(carry, xs):
+            vol_acc, val_acc = carry
+            proj, feat = xs
+            vol, val = backproject(voxel_dim, cfg.voxel_size, origin, proj, feat)
+            return (vol_acc + vol, val_acc + val), None
+
+        nx, ny, nz = voxel_dim
+        init = (
+            jnp.zeros((B, C, nx, ny, nz), feat_2d.dtype),
+            jnp.zeros((B, 1, nx, ny, nz), feat_2d.dtype),
+        )
+        (volume, valid), _ = jax.lax.scan(fold, init, (proj_t, feat_t))
+        return VolumeRepr(volume, valid)
+
+    def refine(self, repr: VolumeRepr, targets=None, train: bool = False):
+        """Normalize the accumulator, run the 3D backbone and heads
+        (reference voxel_net.py:147-175)."""
+        volume = repr.volume / jnp.maximum(repr.valid, 1e-12)
+        volume = jnp.where(repr.valid > 0, volume, 0.0)
+        xs = self.backbone3d(volume, train=train)
+        return self.heads3d(xs, targets)
+
+    def __call__(self, projection, image, depth, voxel_dim, origin, targets=None, train: bool = False):
+        repr = self.encode(projection, image, depth, tuple(voxel_dim), origin, train=train)
+        return self.refine(repr, targets, train=train)

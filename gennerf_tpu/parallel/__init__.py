@@ -1,0 +1,4 @@
+"""Device-mesh parallelism utilities."""
+from .mesh import make_mesh, shard_batch, replicate
+
+__all__ = ["make_mesh", "shard_batch", "replicate"]
