@@ -1,0 +1,202 @@
+#!/usr/bin/env python3
+"""Benchmark harness: flagship decode throughput on the current accelerator.
+
+Measures the headline workload (SURVEY §6): dense TSDF query-point decoding
+through the flagship GenNerf decoder (triplane bilinear sample + positional
+encoding + ResnetFC + TSDF head) at the reference's val voxel grid
+(256x256x96 ~ 6.3M points), after encoding a synthetic 8-frame RGB-D scene
+at 640x480.
+
+vs_baseline: ratio against the PyTorch reference decoder math executed on
+this host's CPU with the reference's own chunking (10k-point chunks,
+model.py:769-777). The reference publishes no benchmark numbers
+(BASELINE.md), so the baseline is measured, not quoted; the measurement is
+cached in BASELINE_MEASURED.json with methodology.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
+
+# flagship decoder hyperparameters (reference experiment
+# seq1_0244_01_frames8_evenspaced_pointnet)
+C_DIM = 64
+PLANE_RESO = 128
+D_HIDDEN = 256
+N_BLOCKS = 5
+NUM_FREQS = 6
+FREQ_FACTOR = 0.5
+D_OUT = 65  # d_out_geo=64 + d_out_sem=1
+VOXEL_DIM = (256, 256, 96)  # reference voxel_dim_val
+
+
+def measure_torch_reference_decode(num_chunks: int = 12, chunk: int = 10000) -> float:
+    """Reference decoder math in torch (CPU), reference chunking. Returns
+    points/sec."""
+    import torch
+    import torch.nn.functional as F
+
+    torch.set_num_threads(os.cpu_count() or 8)
+    d_code = NUM_FREQS * 2 * 3 + 3
+
+    class RefBlock(torch.nn.Module):
+        def __init__(self, d):
+            super().__init__()
+            self.fc_0 = torch.nn.Linear(d, d)
+            self.fc_1 = torch.nn.Linear(d, d)
+
+        def forward(self, x):
+            return x + self.fc_1(torch.relu(self.fc_0(torch.relu(x))))
+
+    class RefDecoder(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.lin_in = torch.nn.Linear(C_DIM, D_HIDDEN)
+            self.lin_z = torch.nn.ModuleList(
+                [torch.nn.Linear(d_code, D_HIDDEN) for _ in range(N_BLOCKS)]
+            )
+            self.blocks = torch.nn.ModuleList([RefBlock(D_HIDDEN) for _ in range(N_BLOCKS)])
+            self.lin_out = torch.nn.Linear(D_HIDDEN, D_OUT)
+            self.head = torch.nn.Linear(64, 1)
+            freqs = FREQ_FACTOR * 2.0 ** torch.arange(NUM_FREQS)
+            self._freqs = torch.repeat_interleave(freqs, 2).view(1, -1, 1)
+            phases = torch.zeros(2 * NUM_FREQS)
+            phases[1::2] = np.pi * 0.5
+            self._phases = phases.view(1, -1, 1)
+
+        def forward(self, planes, xyz):
+            # triplane bilinear sampling (reference sample_plane_feature x3)
+            feat = 0
+            for i, axes in enumerate([(0, 2), (0, 1), (1, 2)]):
+                uv = xyz[..., axes] / 1.1 + 0.5
+                vgrid = (2 * uv - 1).view(1, -1, 1, 2)
+                feat = feat + F.grid_sample(
+                    planes[i], vgrid, padding_mode="border", align_corners=True
+                )[0, :, :, 0].T
+            # positional encoding
+            x = xyz.view(-1, 3)
+            embed = x.unsqueeze(1).repeat(1, NUM_FREQS * 2, 1)
+            embed = torch.sin(torch.addcmul(self._phases, embed, self._freqs))
+            code = torch.cat((x, embed.view(x.shape[0], -1)), dim=-1)
+            # ResnetFC with per-block latent injection
+            h = self.lin_in(feat)
+            for blk, lz in zip(self.blocks, self.lin_z):
+                h = blk(h + lz(code))
+            out = self.lin_out(torch.relu(h))
+            return torch.tanh(self.head(out[..., :64]))
+
+    model = RefDecoder().eval()
+    planes = [torch.randn(1, C_DIM, PLANE_RESO, PLANE_RESO) for _ in range(3)]
+    pts = torch.rand(num_chunks, chunk, 3) - 0.5
+    with torch.no_grad():
+        model(planes, pts[0])  # warmup
+        t0 = time.perf_counter()
+        for i in range(num_chunks):
+            model(planes, pts[i])
+        dt = time.perf_counter() - t0
+    return num_chunks * chunk / dt
+
+
+def get_baseline() -> dict:
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            return json.load(f)
+    pps = measure_torch_reference_decode()
+    data = {
+        "reference_decode_points_per_sec": pps,
+        "methodology": (
+            "PyTorch reference decoder math (triplane grid_sample x3 + NeRF "
+            "positional encoding + 5-block ResnetFC d_hidden=256 with "
+            "per-block latent injection + tanh TSDF head, flagship "
+            "hyperparameters), torch CPU on this host, reference 10k-point "
+            "chunking (model.py:769-777). The reference publishes no "
+            "benchmark numbers; its hardware (4x A40) is unavailable here."
+        ),
+        "hardware": f"cpu x{os.cpu_count()}",
+    }
+    with open(BASELINE_FILE, "w") as f:
+        json.dump(data, f, indent=2)
+    return data
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from __graft_entry__ import _flagship_cfg
+    from gennerf_tpu.data.synthetic import render_scene, look_at_pose
+    from gennerf_tpu.models import GenNerf
+    from gennerf_tpu.models.gen_nerf import GenNerf as _G
+    from gennerf_tpu.train.predict import decode_dense, dense_grid_points
+
+    platform = jax.devices()[0].platform
+    cfg = _flagship_cfg()
+    model = GenNerf(cfg)
+
+    # synthetic 8-frame scene at the reference input resolution
+    H, W = 480, 640
+    K = np.array([[0.6 * W, 0, W / 2], [0, 0.6 * W, H / 2], [0, 0, 1]], np.float32)
+    projs, depths, images = [], [], []
+    for i in range(8):
+        a = 2 * np.pi * i / 8
+        pose = look_at_pose([2.2 * np.cos(a), 2.2 * np.sin(a), 1.3], [0, 0, 0.5])
+        depth, color = render_scene(H, W, K, pose)
+        projs.append((K @ np.linalg.inv(pose)[:3]).astype(np.float32))
+        depths.append(depth)
+        images.append(color.transpose(2, 0, 1).astype(np.float32))
+    proj = jnp.asarray(np.stack(projs))[None]
+    depth = jnp.asarray(np.stack(depths))[None]
+    image = jnp.asarray(np.stack(images))[None]
+
+    key = jax.random.PRNGKey(0)
+    xyz0 = jnp.zeros((1, 8, 3), jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(1), proj, image, depth, xyz0, key,
+        cfg.voxel_dim_val, jnp.zeros(3), train=False,
+    )
+    repr_, _ = model.apply(
+        variables, proj, image, depth, key, cfg.voxel_dim_val, jnp.zeros(3),
+        train=False, method=_G.encode, mutable=["batch_stats"],
+    )
+    jax.block_until_ready(repr_.planes["xz"])
+
+    pts = dense_grid_points(VOXEL_DIM, cfg.voxel_size, np.zeros(3))
+    n_pts = pts.shape[0]
+    chunk_size = 262144
+
+    # compile + warmup; NOTE: on the tunneled TPU platform block_until_ready
+    # returns before remote execution completes, so timings force a host
+    # fetch of the result (a sum) to guarantee end-to-end completion.
+    tsdf = decode_dense(model, variables, repr_, pts, jnp.zeros(3), chunk_size)
+    float(tsdf.sum())
+    # steady state (best of 3)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        tsdf = decode_dense(model, variables, repr_, pts, jnp.zeros(3), chunk_size)
+        float(tsdf.sum())
+        times.append(time.perf_counter() - t0)
+    pps = n_pts / min(times)
+
+    baseline = get_baseline()
+    ref_pps = baseline["reference_decode_points_per_sec"]
+    print(json.dumps({
+        "metric": f"dense TSDF decode throughput ({platform}, flagship GenNerf decoder, {n_pts} pts)",
+        "value": round(pps),
+        "unit": "points/s",
+        "vs_baseline": round(pps / ref_pps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

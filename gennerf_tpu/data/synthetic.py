@@ -1,0 +1,204 @@
+"""Synthetic scene generator: builds a miniature dataset in the canonical
+ScanNet layout (info.json + color/depth images + fused GT tsdf npz) from
+analytic geometry. Used by tests, the overfit integration fixture, and the
+benchmark harness — no ScanNet download required.
+
+Scene: a sphere resting on a ground plane, viewed from a ring of
+inward-looking cameras.
+"""
+from __future__ import annotations
+
+import json
+import os
+import tarfile
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..utils.image import write_png
+
+
+def look_at_pose(eye, target, up=(0.0, 0.0, 1.0)) -> np.ndarray:
+    """camera2world with +z forward, +y down (vision convention)."""
+    eye = np.asarray(eye, np.float64)
+    target = np.asarray(target, np.float64)
+    fwd = target - eye
+    fwd /= np.linalg.norm(fwd)
+    upv = np.asarray(up, np.float64)
+    right = np.cross(fwd, upv)
+    if np.linalg.norm(right) < 1e-6:
+        right = np.cross(fwd, np.array([0.0, 1.0, 0.0]))
+    right /= np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    pose = np.eye(4)
+    pose[:3, 0] = right
+    pose[:3, 1] = down
+    pose[:3, 2] = fwd
+    pose[:3, 3] = eye
+    return pose.astype(np.float32)
+
+
+def render_scene(
+    H: int,
+    W: int,
+    intrinsics: np.ndarray,
+    pose: np.ndarray,
+    sphere_center=(0.0, 0.0, 0.5),
+    sphere_radius: float = 0.5,
+    floor_z: float = 0.0,
+    max_depth: float = 10.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Analytic z-depth + shaded RGB of a sphere over a floor plane.
+
+    Rays are parameterized by camera z-depth t: X(t) = o + t * (R @ d_cam)
+    with d_cam = ((u-cx)/fx, (v-cy)/fy, 1), so intersection t IS the depth.
+
+    Returns:
+        depth (H, W) float32 meters (0 = no hit / beyond max_depth),
+        color (H, W, 3) uint8.
+    """
+    fx, fy = float(intrinsics[0, 0]), float(intrinsics[1, 1])
+    cx, cy = float(intrinsics[0, 2]), float(intrinsics[1, 2])
+    us, vs = np.meshgrid(np.arange(W, dtype=np.float64), np.arange(H, dtype=np.float64))
+    d_cam = np.stack([(us - cx) / fx, (vs - cy) / fy, np.ones_like(us)], -1)
+    R = pose[:3, :3].astype(np.float64)
+    o = pose[:3, 3].astype(np.float64)
+    d = d_cam @ R.T  # (H, W, 3)
+
+    # sphere
+    c = np.asarray(sphere_center, np.float64)
+    oc = o - c
+    a = (d**2).sum(-1)
+    b = (d * oc).sum(-1)
+    disc = b**2 - a * ((oc**2).sum() - sphere_radius**2)
+    hit_s = disc > 0
+    sqrt_disc = np.sqrt(np.where(hit_s, disc, 0.0))
+    t_s = np.where(hit_s, (-b - sqrt_disc) / a, np.inf)
+    t_s = np.where(t_s > 1e-6, t_s, np.inf)
+
+    # floor
+    dz = d[..., 2]
+    t_f = np.where(np.abs(dz) > 1e-9, (floor_z - o[2]) / dz, np.inf)
+    t_f = np.where(t_f > 1e-6, t_f, np.inf)
+
+    t = np.minimum(t_s, t_f)
+    sphere_closer = t_s <= t_f
+    valid = np.isfinite(t) & (t <= max_depth)
+    depth = np.where(valid, t, 0.0).astype(np.float32)
+
+    # shading
+    pts = o + t[..., None] * d
+    light = np.array([0.4, 0.3, 0.85])
+    light /= np.linalg.norm(light)
+    n_sphere = pts - c
+    n_sphere /= np.maximum(np.linalg.norm(n_sphere, axis=-1, keepdims=True), 1e-9)
+    lambert_s = np.clip((n_sphere * light).sum(-1), 0.15, 1.0)
+    checker = ((np.floor(pts[..., 0] * 2) + np.floor(pts[..., 1] * 2)) % 2).astype(np.float64)
+    color = np.zeros((H, W, 3), np.float64)
+    color[..., 0] = np.where(sphere_closer, 0.9 * lambert_s, 0.3 + 0.4 * checker)
+    color[..., 1] = np.where(sphere_closer, 0.3 * lambert_s, 0.5 + 0.3 * checker)
+    color[..., 2] = np.where(sphere_closer, 0.2 * lambert_s, 0.4 + 0.2 * checker)
+    color = np.where(valid[..., None], color, 0.0)
+    return depth, (color * 255).astype(np.uint8)
+
+
+def generate_scene(
+    out_dir: str,
+    scene: str = "scene_synth0",
+    num_frames: int = 24,
+    H: int = 96,
+    W: int = 128,
+    voxel_sizes=(4, 8, 16),
+    use_tar: bool = False,
+    camera_radius: float = 2.2,
+    camera_height: float = 1.3,
+    sphere_center=(0.0, 0.0, 0.5),
+    sphere_radius: float = 0.5,
+    seed: int = 0,
+) -> str:
+    """Create <out_dir>/scans/<scene>/{info.json,color/,depth/,tsdf_XX.npz}.
+
+    GT volumes are produced by TSDF fusion of the rendered depths (same
+    recipe as the reference prep pipeline, prepare_data.py:32-149).
+
+    Returns the info.json path.
+    """
+    import jax.numpy as jnp
+
+    from ..tsdf import TSDFFusion
+
+    rng = np.random.default_rng(seed)
+    scene_dir = os.path.join(out_dir, "scans", scene)
+    color_dir = os.path.join(scene_dir, "color")
+    depth_dir = os.path.join(scene_dir, "depth")
+    os.makedirs(color_dir, exist_ok=True)
+    os.makedirs(depth_dir, exist_ok=True)
+
+    f = 0.6 * W
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
+
+    frames = []
+    depths, projections, colors = [], [], []
+    target = np.asarray(sphere_center)
+    for i in range(num_frames):
+        ang = 2 * np.pi * i / num_frames + 0.01 * rng.standard_normal()
+        eye = np.array([
+            camera_radius * np.cos(ang),
+            camera_radius * np.sin(ang),
+            camera_height + 0.05 * rng.standard_normal(),
+        ])
+        pose = look_at_pose(eye, target)
+        depth, color = render_scene(H, W, K, pose, sphere_center, sphere_radius)
+
+        img_path = os.path.join(color_dir, f"{i}.png")
+        dep_path = os.path.join(depth_dir, f"{i}.png")
+        write_png(img_path, color)
+        write_png(dep_path, (depth * 1000).astype(np.uint16))  # mm, DEPTH_SHIFT
+
+        frames.append({
+            "file_name_image": img_path,
+            "file_name_depth": dep_path,
+            "intrinsics": K.tolist(),
+            "pose": pose.tolist(),
+        })
+        proj = (K @ np.linalg.inv(pose)[:3]).astype(np.float32)
+        depths.append(depth)
+        projections.append(proj)
+        colors.append(color.transpose(2, 0, 1).astype(np.float32))
+
+    if use_tar:
+        for d, name in [(color_dir, "color"), (depth_dir, "depth")]:
+            with tarfile.open(os.path.join(d, name + ".tar"), "w") as tar:
+                for i in range(num_frames):
+                    tar.add(os.path.join(d, f"{i}.png"), arcname=f"{i}.png")
+
+    # volume bounds: fixed box around the scene (floor at z=0)
+    origin = np.array([-1.6, -1.6, -0.16], np.float32)
+    extent = np.array([3.2, 3.2, 1.6], np.float32)
+
+    info = {
+        "dataset": "synthetic",
+        "scene": scene,
+        "path": scene_dir,
+        "frames": frames,
+    }
+
+    for vs_cm in voxel_sizes:
+        vs = vs_cm / 100.0
+        voxel_dim = tuple(int(round(e / vs)) for e in extent)
+        fus = TSDFFusion(voxel_dim, vs, tuple(origin), trunc_ratio=3, color=True)
+        for proj, depth, color in zip(projections, depths, colors):
+            fus.integrate(jnp.asarray(proj), jnp.asarray(depth), jnp.asarray(color))
+        tsdf = fus.get_tsdf()
+        npz_path = os.path.join(scene_dir, f"tsdf_{vs_cm:02d}.npz")
+        tsdf.save(npz_path)
+        info[f"file_name_vol_{vs_cm:02d}"] = npz_path
+        if vs_cm == min(voxel_sizes):
+            mesh_path = os.path.join(scene_dir, "mesh_gt.ply")
+            tsdf.get_mesh().export(mesh_path)
+            info["file_name_mesh_gt"] = mesh_path
+
+    info_path = os.path.join(scene_dir, "info.json")
+    with open(info_path, "w") as fjson:
+        json.dump(info, fjson)
+    return info_path

@@ -1,0 +1,105 @@
+"""Evaluation metrics: TSDF L1, mesh precision/recall/F-score, depth metrics.
+
+Reference: src/models/metrics.py. Mesh metrics use the native C++ KD-tree
+(replacing Open3D); all metrics are host-side numpy (eval-only, like the
+reference).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def eval_tsdf(tsdf_pred, tsdf_trgt) -> Dict[str, float]:
+    """Masked TSDF L1 (reference metrics.py:24-78): only voxels where the
+    target is observed (trgt < 1) count."""
+    pred = np.asarray(tsdf_pred.tsdf_vol if hasattr(tsdf_pred, "tsdf_vol") else tsdf_pred)
+    trgt = np.asarray(tsdf_trgt.tsdf_vol if hasattr(tsdf_trgt, "tsdf_vol") else tsdf_trgt)
+    mask = trgt < 1
+    if mask.sum() == 0:
+        return {"l1": 0.0}
+    return {"l1": float(np.abs(pred[mask] - trgt[mask]).mean())}
+
+
+def _nn_distances(queries: np.ndarray, targets: np.ndarray) -> np.ndarray:
+    try:
+        from ..native import nn_distances
+
+        return nn_distances(queries, targets)
+    except Exception:
+        from scipy.spatial import cKDTree
+
+        return cKDTree(targets).query(queries)[0]
+
+
+def _sample_surface(mesh, num: Optional[int]) -> np.ndarray:
+    """Vertex sampling of a mesh (the reference uses o3d voxel downsampling
+    of vertices at 2cm; vertex sets at 4cm voxels are already ~surface-dense,
+    so uniform subsampling is an equivalent density control)."""
+    verts = np.asarray(mesh.vertices, np.float32)
+    if num is not None and len(verts) > num:
+        idx = np.random.default_rng(0).choice(len(verts), num, replace=False)
+        verts = verts[idx]
+    return verts
+
+
+def eval_mesh(mesh_pred, mesh_trgt, threshold: float = 0.05, down_sample: int = 200000) -> Dict[str, float]:
+    """Mesh precision/recall/F-score at `threshold` meters
+    (reference metrics.py:81-146).
+
+    prec  = fraction of predicted points within threshold of target,
+    recal = fraction of target points within threshold of prediction,
+    dist1 = mean pred->target distance, dist2 = mean target->pred.
+    """
+    pts_pred = _sample_surface(mesh_pred, down_sample)
+    pts_trgt = _sample_surface(mesh_trgt, down_sample)
+    if len(pts_pred) == 0 or len(pts_trgt) == 0:
+        return {"dist1": np.inf, "dist2": np.inf, "prec": 0.0, "recal": 0.0, "fscore": 0.0}
+
+    d1 = _nn_distances(pts_pred, pts_trgt)  # pred -> target
+    d2 = _nn_distances(pts_trgt, pts_pred)  # target -> pred
+    precision = float((d1 < threshold).mean())
+    recall = float((d2 < threshold).mean())
+    fscore = 2 * precision * recall / max(precision + recall, 1e-12)
+    return {
+        "dist1": float(d1.mean()),
+        "dist2": float(d2.mean()),
+        "prec": precision,
+        "recal": recall,
+        "fscore": float(fscore),
+    }
+
+
+def eval_depth(depth_pred: np.ndarray, depth_trgt: np.ndarray) -> Dict[str, float]:
+    """2D depth metrics (reference metrics.py:149-185): AbsRel/AbsDiff/SqRel/
+    RMSE/LogRMSE/delta<1.25^n/completeness over pixels valid in both."""
+    mask1 = depth_pred > 0
+    mask = (depth_trgt > 0) & mask1
+    if mask.sum() == 0:
+        return {k: 0.0 for k in
+                ["AbsRel", "AbsDiff", "SqRel", "RMSE", "LogRMSE", "r1", "r2", "r3", "complete"]}
+
+    pred = depth_pred[mask]
+    trgt = depth_trgt[mask]
+    abs_diff = np.abs(pred - trgt)
+    abs_rel = abs_diff / trgt
+    sq_diff = abs_diff**2
+    sq_rel = sq_diff / trgt
+    sq_log_diff = (np.log(pred) - np.log(trgt)) ** 2
+    thresh = np.maximum(pred / trgt, trgt / pred)
+    r1 = (thresh < 1.25).astype(np.float64)
+    r2 = (thresh < 1.25**2).astype(np.float64)
+    r3 = (thresh < 1.25**3).astype(np.float64)
+
+    return {
+        "AbsRel": float(abs_rel.mean()),
+        "AbsDiff": float(abs_diff.mean()),
+        "SqRel": float(sq_rel.mean()),
+        "RMSE": float(np.sqrt(sq_diff.mean())),
+        "LogRMSE": float(np.sqrt(sq_log_diff.mean())),
+        "r1": float(r1.mean()),
+        "r2": float(r2.mean()),
+        "r3": float(r3.mean()),
+        "complete": float(mask1.mean()),
+    }

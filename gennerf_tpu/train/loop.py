@@ -1,0 +1,161 @@
+"""Trainer: the fit/validate/test loop.
+
+The harness-level replacement for Lightning's Trainer as the reference uses
+it (SURVEY L5): epoch loop over jit'd steps, StepLR per epoch, periodic
+validation with a reconstruction tail, every-epoch + last checkpoints,
+scalar logging, resume. Device parallelism: batches are sharded over the
+'data' mesh axis; everything inside the step is global-semantics jit.
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from ..parallel.mesh import make_mesh, shard_batch
+from .checkpoints import CheckpointManager
+from .loggers import MetricsLogger, get_logger
+from .state import TrainState, lr_for_epoch, set_learning_rate
+
+
+class Trainer:
+    def __init__(
+        self,
+        max_epochs: int = 10,
+        min_epochs: int = 1,
+        accelerator: str = "auto",
+        devices: Any = "auto",
+        precision: str = "bf16-mixed",
+        log_every_n_steps: int = 50,
+        check_val_every_n_epoch: int = 1,
+        num_sanity_val_steps: int = 2,
+        deterministic: bool = False,
+        gradient_clip_val: Optional[float] = None,
+        output_dir: str = ".",
+        logger: Optional[MetricsLogger] = None,
+        ckpt: Optional[CheckpointManager] = None,
+        **_unused,
+    ):
+        self.max_epochs = max_epochs
+        self.min_epochs = min_epochs
+        self.log_every_n_steps = log_every_n_steps
+        self.check_val_every_n_epoch = check_val_every_n_epoch
+        self.num_sanity_val_steps = num_sanity_val_steps
+        self.output_dir = output_dir
+        self.log = get_logger()
+        self.logger = logger or MetricsLogger(output_dir)
+        self.ckpt = ckpt
+        num_devices = None if devices in ("auto", None) else int(devices)
+        self.mesh = make_mesh(num_devices)
+        self.precision = precision
+        self.metrics: Dict[str, float] = {}
+
+    # -----------------------------------------------------------------
+    def fit(self, task, datamodule, seed: int = 0, ckpt_path: Optional[str] = None,
+            config_snapshot: Optional[dict] = None):
+        key = jax.random.PRNGKey(seed)
+        train_loader = datamodule.train_dataloader()
+        val_loader = datamodule.val_dataloader()
+
+        # init from the first batch's shapes
+        first_batch = next(iter(train_loader))
+        key, k_init = jax.random.split(key)
+        state = task.init_state(k_init, first_batch)
+        from .state import param_count
+
+        self.log.info(f"{task.name}: {param_count(state.params):,} params on "
+                      f"{self.mesh.devices.size} device(s)")
+
+        start_epoch = 0
+        if ckpt_path:
+            mgr = CheckpointManager(ckpt_path)
+            state = mgr.restore(state)
+            start_epoch = (mgr.latest_epoch() or 0) + 1
+            self.log.info(f"resumed from {ckpt_path} at epoch {start_epoch}")
+
+        # sanity validation (reference trainer num_sanity_val_steps)
+        if self.num_sanity_val_steps:
+            for i, batch in enumerate(val_loader):
+                if i >= self.num_sanity_val_steps:
+                    break
+                key, k = jax.random.split(key)
+                task.run_eval_step(state, shard_batch(_arrays(batch), self.mesh), k)
+
+        global_step = int(state.step)
+        for epoch in range(start_epoch, self.max_epochs):
+            lr = lr_for_epoch(task.cfg.optimizer, task.cfg.scheduler, epoch)
+            state = state.replace(opt_state=set_learning_rate(state.opt_state, lr))
+
+            t_epoch = time.time()
+            last_metrics = {}
+            for batch in train_loader:
+                key, k = jax.random.split(key)
+                state, metrics = task.run_train_step(
+                    state, shard_batch(_arrays(batch), self.mesh), k
+                )
+                global_step += 1
+                if global_step % self.log_every_n_steps == 0:
+                    last_metrics = {f"train_{k_}": float(v) for k_, v in metrics.items()}
+                    self.logger.log_metrics({**last_metrics, "lr": lr, "epoch": epoch}, global_step)
+            dt = time.time() - t_epoch
+            if not last_metrics:
+                last_metrics = {f"train_{k_}": float(v) for k_, v in metrics.items()}
+                self.logger.log_metrics({**last_metrics, "lr": lr, "epoch": epoch}, global_step)
+            self.metrics.update(last_metrics)
+            self.log.info(
+                f"epoch {epoch}: " +
+                ", ".join(f"{k_}={v:.4f}" for k_, v in last_metrics.items()) +
+                f" ({dt:.1f}s)"
+            )
+
+            if (epoch + 1) % self.check_val_every_n_epoch == 0:
+                val_metrics = self.validate(task, state, val_loader, key, epoch,
+                                            reconstruct=True)
+                self.metrics.update(val_metrics)
+                self.logger.log_metrics(val_metrics, global_step)
+
+            if self.ckpt is not None:
+                self.ckpt.save(epoch, state, config_snapshot)
+
+        return state
+
+    # -----------------------------------------------------------------
+    def validate(self, task, state: TrainState, loader, key, epoch: int = 0,
+                 mode: str = "val", reconstruct: bool = False) -> Dict[str, float]:
+        sums: Dict[str, float] = {}
+        count = 0
+        last_batch = None
+        for batch in loader:
+            key, k = jax.random.split(key)
+            metrics = task.run_eval_step(state, shard_batch(_arrays(batch), self.mesh), k)
+            for k_, v in metrics.items():
+                sums[k_] = sums.get(k_, 0.0) + float(v)
+            count += 1
+            last_batch = batch
+        out = {f"{mode}_{k_}": v / max(count, 1) for k_, v in sums.items()}
+
+        if reconstruct and last_batch is not None:
+            try:
+                pred, trgt = task.reconstruct(state, last_batch, b_idx=0)
+                l1 = float(np.abs(np.asarray(pred.tsdf_vol) - np.asarray(trgt.tsdf_vol)).mean())
+                out[f"{mode}_recon_tsdf_l1"] = l1
+                self.logger.local.log_tsdf(pred, f"{mode}_tsdf/{mode}_pred_tsdf")
+                self.logger.local.log_tsdf(trgt, f"{mode}_tsdf/{mode}_trgt_tsdf")
+                self.logger.local.log_mesh(pred.get_mesh(), f"{mode}_mesh/{mode}_pred_mesh")
+                self.logger.local.log_mesh(trgt.get_mesh(), f"{mode}_mesh/{mode}_trgt_mesh")
+            except Exception as e:  # reconstruction is best-effort logging
+                self.log.warning(f"reconstruction logging failed: {e}")
+        return out
+
+    def test(self, task, state: TrainState, datamodule, key=None) -> Dict[str, float]:
+        key = key if key is not None else jax.random.PRNGKey(0)
+        loader = datamodule.test_dataloader()
+        metrics = self.validate(task, state, loader, key, mode="test", reconstruct=True)
+        self.logger.log_metrics(metrics, int(state.step))
+        return metrics
+
+
+def _arrays(batch: Dict[str, Any]) -> Dict[str, Any]:
+    return {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}

@@ -1,0 +1,156 @@
+"""Model task wrappers: bind a model family to its train/eval steps, init,
+and reconstruction logging.
+
+This is the functional replacement for the reference LightningModules'
+harness-facing surface (training_step / validation_step / predict_step /
+geometric_reconstruction; model.py:498-790, voxel_net.py:275-443).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import GenNerf, GenNerfConfig, VoxelNet, VoxelNetConfig, config_from_dict
+from ..models.gen_nerf import SceneRepr
+from ..tsdf import TSDF
+from .predict import predict_tsdf_volume
+from .state import TrainState, create_train_state, make_optimizer
+from .step import (
+    make_gen_nerf_eval_step,
+    make_gen_nerf_train_step,
+    make_voxel_net_eval_step,
+    make_voxel_net_train_step,
+)
+
+
+def _array_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
+    """Drop non-array (metadata) entries before device transfer."""
+    return {k: v for k, v in batch.items() if isinstance(v, (np.ndarray, jnp.ndarray))}
+
+
+class GenNerfTask:
+    name = "GenNerf"
+
+    def __init__(self, model_cfg_dict: Dict[str, Any]):
+        self.cfg: GenNerfConfig = config_from_dict(GenNerfConfig, model_cfg_dict)
+        self.model = GenNerf(self.cfg)
+        self.tx = make_optimizer(self.cfg.optimizer)
+        self.train_step = make_gen_nerf_train_step(self.model, self.cfg, self.tx)
+        self.eval_step = make_gen_nerf_eval_step(self.model, self.cfg)
+        self.voxel_sizes = [int(self.cfg.voxel_size * 100)]
+
+    def init_state(self, key: jax.Array, batch: Dict[str, Any]) -> TrainState:
+        b = _array_batch(batch)
+        B, T = b["image"].shape[:2]
+        xyz = jnp.zeros((B, 8, 3), jnp.float32)
+        variables = self.model.init(
+            key,
+            jnp.asarray(b["projection"]), jnp.asarray(b["image"]), jnp.asarray(b["depth"]),
+            xyz, jax.random.PRNGKey(0), tuple(self.cfg.voxel_dim_train),
+            jnp.zeros(3), train=False,
+        )
+        return create_train_state(variables, self.tx)
+
+    def run_train_step(self, state, batch, key):
+        return self.train_step(state, _array_batch(batch), key)
+
+    def run_eval_step(self, state, batch, key):
+        return self.eval_step(state, _array_batch(batch), key)
+
+    # -- reconstruction (validation-tail / test visualization) ----------------
+    def reconstruct(self, state: TrainState, batch: Dict[str, Any], b_idx: int = 0,
+                    voxel_dim=None) -> Tuple[TSDF, TSDF]:
+        """Encode sequence b_idx, densely decode the TSDF volume, wrap pred +
+        target into TSDF objects (reference geometric_reconstruction,
+        model.py:691-716)."""
+        b = _array_batch(batch)
+        cfg = self.cfg
+        origin = jnp.zeros(3, jnp.float32)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+        key = "vol_%02d_tsdf" % self.voxel_sizes[0]
+        trgt = np.asarray(b[key])[b_idx, 0]  # (nx, ny, nz)
+        voxel_dim = tuple(voxel_dim or trgt.shape)
+
+        repr_, _ = self.model.apply(
+            variables,
+            jnp.asarray(b["projection"][b_idx : b_idx + 1]),
+            jnp.asarray(b["image"][b_idx : b_idx + 1]),
+            jnp.asarray(b["depth"][b_idx : b_idx + 1]),
+            jax.random.PRNGKey(0), voxel_dim, origin,
+            train=False, method=GenNerf.encode, mutable=["batch_stats"],
+        )
+        vol = predict_tsdf_volume(
+            self.model, variables, repr_, voxel_dim, cfg.voxel_size, np.zeros(3)
+        )
+        origin_arr = jnp.zeros((1, 3))
+        return (
+            TSDF(cfg.voxel_size, origin_arr, vol),
+            TSDF(cfg.voxel_size, origin_arr, jnp.asarray(trgt)),
+        )
+
+
+class VoxelNetTask:
+    name = "VoxelNet"
+
+    def __init__(self, model_cfg_dict: Dict[str, Any]):
+        self.cfg: VoxelNetConfig = config_from_dict(VoxelNetConfig, model_cfg_dict)
+        self.model = VoxelNet(self.cfg)
+        self.tx = make_optimizer(self.cfg.optimizer)
+        self.train_step = make_voxel_net_train_step(self.model, self.cfg, self.tx)
+        self.eval_step = make_voxel_net_eval_step(self.model, self.cfg)
+        final = int(self.cfg.voxel_size * 100)
+        self.voxel_sizes = [
+            final * 2**i for i in range(len(self.cfg.backbone3d.layers_down) - 1)
+        ]
+
+    def init_state(self, key: jax.Array, batch: Dict[str, Any]) -> TrainState:
+        b = _array_batch(batch)
+        targets = {
+            ("vol_%02d_tsdf" % vs): jnp.asarray(b["vol_%02d_tsdf" % vs])
+            for vs in self.voxel_sizes
+        }
+        variables = self.model.init(
+            key,
+            jnp.asarray(b["projection"]), jnp.asarray(b["image"]), jnp.asarray(b["depth"]),
+            tuple(self.cfg.voxel_dim_train), jnp.zeros(3), targets, train=False,
+        )
+        return create_train_state(variables, self.tx)
+
+    def run_train_step(self, state, batch, key):
+        return self.train_step(state, _array_batch(batch), key)
+
+    def run_eval_step(self, state, batch, key):
+        return self.eval_step(state, _array_batch(batch), key)
+
+    def forward_volumes(self, state: TrainState, batch, voxel_dim=None):
+        b = _array_batch(batch)
+        voxel_dim = tuple(voxel_dim or b["vol_%02d_tsdf" % self.voxel_sizes[0]].shape[-3:])
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        outputs, _ = self.model.apply(
+            variables,
+            jnp.asarray(b["projection"]), jnp.asarray(b["image"]), jnp.asarray(b["depth"]),
+            voxel_dim, jnp.zeros(3), None, train=False,
+        )
+        return outputs
+
+    def reconstruct(self, state: TrainState, batch, b_idx: int = 0, voxel_dim=None):
+        outputs = self.forward_volumes(state, batch, voxel_dim)
+        key = "vol_%02d_tsdf" % self.voxel_sizes[0]
+        pred = outputs[key][b_idx, 0]
+        trgt = jnp.asarray(_array_batch(batch)[key][b_idx, 0])
+        origin_arr = jnp.zeros((1, 3))
+        vs = self.cfg.voxel_size
+        return TSDF(vs, origin_arr, pred), TSDF(vs, origin_arr, trgt)
+
+
+def make_task(model_cfg_dict: Dict[str, Any]):
+    t = model_cfg_dict.get("type", "GenNerf")
+    if t == "GenNerf":
+        return GenNerfTask(model_cfg_dict)
+    if t == "VoxelNet":
+        return VoxelNetTask(model_cfg_dict)
+    raise NotImplementedError(f"model type {t}")

@@ -164,17 +164,19 @@ def compose(
             group_choices[entry] = entry
 
     experiment = None
+    cli_group_choices = {}
     value_overrides = []
     for token in overrides:
         key, value = _parse_override(token)
         if key == "experiment":
             experiment = value
         elif key in group_choices and isinstance(value, str) and "." not in key:
-            group_choices[key] = value
+            cli_group_choices[key] = value
         else:
             value_overrides.append((key, value))
 
-    # experiment overlay may also re-select groups via its own defaults
+    # experiment overlay may also re-select groups via its own defaults;
+    # explicit CLI group choices win over the experiment (Hydra semantics)
     exp_cfg: Dict[str, Any] = {}
     if experiment:
         exp_path = os.path.join(config_dir, "experiment", f"{experiment}.yaml")
@@ -186,6 +188,7 @@ def compose(
                 for g, n in entry.items():
                     g = str(g).removeprefix("override ").removeprefix("/")
                     group_choices[g] = n
+    group_choices.update(cli_group_choices)
 
     # compose groups (resolving within-group defaults inheritance)
     cfg: Dict[str, Any] = {}

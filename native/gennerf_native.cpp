@@ -227,6 +227,63 @@ void query_kd(const std::vector<KDNode>& nodes, int id, const float* q,
 
 }  // namespace
 
+// ---------------------------------------------------------------------------
+// Software depth rasterizer (pyrender/EGL replacement for offline eval)
+// ---------------------------------------------------------------------------
+
+// Rasterize a triangle mesh's z-buffer into a pinhole camera.
+//   verts: n_v * 3 world-space vertices
+//   faces: n_f * 3 vertex indices
+//   world2cam: 4x4 row-major (camera = world2cam @ world)
+//   K: fx, fy, cx, cy
+// Writes depth[H*W] (0 where no geometry).
+void rasterize_depth(const float* verts, int n_v, const int* faces, int n_f,
+                     const float* world2cam, float fx, float fy, float cx,
+                     float cy, int height, int width, float* depth) {
+  std::fill(depth, depth + static_cast<size_t>(height) * width, 0.0f);
+  std::vector<float> cam(static_cast<size_t>(n_v) * 3);
+  for (int i = 0; i < n_v; ++i) {
+    const float* v = verts + 3 * i;
+    for (int r = 0; r < 3; ++r) {
+      cam[3 * i + r] = world2cam[4 * r + 0] * v[0] + world2cam[4 * r + 1] * v[1] +
+                       world2cam[4 * r + 2] * v[2] + world2cam[4 * r + 3];
+    }
+  }
+  auto proj_u = [&](int i) { return fx * cam[3 * i] / cam[3 * i + 2] + cx; };
+  auto proj_v = [&](int i) { return fy * cam[3 * i + 1] / cam[3 * i + 2] + cy; };
+
+  for (int f = 0; f < n_f; ++f) {
+    int a = faces[3 * f], b = faces[3 * f + 1], c = faces[3 * f + 2];
+    float za = cam[3 * a + 2], zb = cam[3 * b + 2], zc = cam[3 * c + 2];
+    if (za <= 1e-6f || zb <= 1e-6f || zc <= 1e-6f) continue;  // clip behind camera
+    float ua = proj_u(a), va = proj_v(a);
+    float ub = proj_u(b), vb = proj_v(b);
+    float uc = proj_u(c), vc = proj_v(c);
+    int x0 = std::max(0, (int)std::floor(std::min({ua, ub, uc})));
+    int x1 = std::min(width - 1, (int)std::ceil(std::max({ua, ub, uc})));
+    int y0 = std::max(0, (int)std::floor(std::min({va, vb, vc})));
+    int y1 = std::min(height - 1, (int)std::ceil(std::max({va, vb, vc})));
+    if (x0 > x1 || y0 > y1) continue;
+    float denom = (vb - vc) * (ua - uc) + (uc - ub) * (va - vc);
+    if (std::abs(denom) < 1e-12f) continue;
+    float inv_za = 1.0f / za, inv_zb = 1.0f / zb, inv_zc = 1.0f / zc;
+    for (int y = y0; y <= y1; ++y) {
+      for (int x = x0; x <= x1; ++x) {
+        float px = x + 0.0f, py = y + 0.0f;
+        float w0 = ((vb - vc) * (px - uc) + (uc - ub) * (py - vc)) / denom;
+        float w1 = ((vc - va) * (px - uc) + (ua - uc) * (py - vc)) / denom;
+        float w2 = 1.0f - w0 - w1;
+        if (w0 < -1e-5f || w1 < -1e-5f || w2 < -1e-5f) continue;
+        // perspective-correct depth: interpolate 1/z
+        float inv_z = w0 * inv_za + w1 * inv_zb + w2 * inv_zc;
+        float z = 1.0f / inv_z;
+        float& d = depth[static_cast<size_t>(y) * width + x];
+        if (d == 0.0f || z < d) d = z;
+      }
+    }
+  }
+}
+
 // For each of n_q query points, Euclidean distance to nearest of n_t targets.
 void nn_distances(const float* queries, int n_q, const float* targets, int n_t,
                   float* out) {

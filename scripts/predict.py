@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Inference/export entry point.
+
+Usage parity with the reference (src/predict.py:90-103):
+
+    python scripts/predict.py ckpt_path=<dir> [experiment=<name>] [a.b=v]
+
+For each test scene: encode all frames, regress the TSDF volume, save
+{scene}.npz + {scene}.ply to paths.output_dir (reference
+VoxelNet.predict_step, voxel_net.py:354-384).
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def predict(cfg: dict):
+    import jax
+
+    from gennerf_tpu.data.datamodule import ScannetDataModule
+    from gennerf_tpu.train import CheckpointManager, get_logger, make_task
+    from gennerf_tpu.tsdf import TSDF
+
+    log = get_logger()
+    output_dir = cfg["paths"]["output_dir"]
+    os.makedirs(output_dir, exist_ok=True)
+
+    if not cfg.get("ckpt_path"):
+        raise ValueError("ckpt_path is required for predict")
+
+    # the checkpoint carries its model hyperparameters (reference
+    # save_hyperparameters / load_from_checkpoint contract): prefer the
+    # snapshot's model config so the restored pytree always matches
+    model_cfg = cfg["model"]
+    snap_path = os.path.join(cfg["ckpt_path"], "config.json")
+    if os.path.exists(snap_path):
+        import json
+
+        snap = json.load(open(snap_path))
+        if "model" in snap:
+            model_cfg = snap["model"]
+            log_cfg_source = "checkpoint snapshot"
+        else:
+            log_cfg_source = "CLI (snapshot has no model key)"
+    else:
+        log_cfg_source = "CLI (no snapshot)"
+
+    task = make_task(model_cfg)
+    log.info(f"model config source: {log_cfg_source}")
+    datamodule = ScannetDataModule(cfg["data"], seed=cfg.get("seed") or 0)
+    loader = datamodule.predict_dataloader()
+
+    first = next(iter(loader))
+    state = task.init_state(jax.random.PRNGKey(0), first)
+    state = CheckpointManager(cfg["ckpt_path"]).restore(state)
+    log.info(f"loaded checkpoint from {cfg['ckpt_path']}")
+
+    for batch in loader:
+        scene = batch["scene"][0]
+        pred, _ = task.reconstruct(state, batch, b_idx=0)
+        # apply the inference origin offset (reference voxel_net.py:376-382)
+        offset = np.asarray(batch.get("offset", np.zeros((1, 1, 3))))[0].reshape(1, 3)
+        pred = TSDF(pred.voxel_size, offset, pred.tsdf_vol)
+        pred.save(os.path.join(output_dir, f"{scene}.npz"))
+        pred.get_mesh().export(os.path.join(output_dir, f"{scene}.ply"))
+        log.info(f"saved {scene}.npz / {scene}.ply")
+    log.info(f"output dir: {output_dir}")
+    return output_dir
+
+
+def main(argv=None):
+    from gennerf_tpu.utils.config import compose
+
+    argv = argv if argv is not None else sys.argv[1:]
+    config_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "configs")
+    cfg = compose(config_dir, "predict", argv)
+    return predict(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,121 @@
+#!/usr/bin/env python3
+"""Training entry point.
+
+Usage parity with the reference (src/train.py:130-154):
+
+    python scripts/train.py experiment=<name> [group=choice] [a.b.c=value]
+
+Composes the layered config (configs/), instantiates datamodule + model
+task + trainer, runs fit (and optionally test), writes checkpoints/metrics
+under paths.output_dir.
+"""
+import os
+import sys
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def select_platform(trainer_cfg):
+    accel = trainer_cfg.get("accelerator", "auto")
+    if accel == "cpu":
+        import jax
+
+        devices = trainer_cfg.get("devices")
+        if isinstance(devices, int) and devices > 1:
+            flags = os.environ.get("XLA_FLAGS", "")
+            if "host_platform_device_count" not in flags:
+                os.environ["XLA_FLAGS"] = (
+                    flags + f" --xla_force_host_platform_device_count={devices}"
+                )
+        jax.config.update("jax_platforms", "cpu")
+
+
+def train(cfg: dict):
+    """Reference train() equivalent (src/train.py:45-127)."""
+    select_platform(cfg.get("trainer", {}))
+
+    import jax
+
+    from gennerf_tpu.data.datamodule import ScannetDataModule
+    from gennerf_tpu.train import (
+        CheckpointManager,
+        MetricsLogger,
+        Trainer,
+        get_logger,
+        make_task,
+    )
+
+    log = get_logger()
+    seed = cfg.get("seed") or 0
+    output_dir = cfg["paths"]["output_dir"]
+    os.makedirs(output_dir, exist_ok=True)
+
+    trainer_cfg = dict(cfg.get("trainer", {}))
+    devices = trainer_cfg.get("devices", "auto")
+    num_devices = len(jax.devices()) if devices in ("auto", None) else int(devices)
+
+    log.info(f"instantiating datamodule (dataset_type={cfg['data'].get('dataset_type')})")
+    datamodule = ScannetDataModule(cfg["data"], num_devices=num_devices, seed=seed)
+
+    log.info(f"instantiating model <{cfg['model'].get('type')}>")
+    task = make_task(cfg["model"])
+
+    logger = MetricsLogger(output_dir, cfg.get("logger"))
+    ckpt_cfg = cfg.get("callbacks", {}).get("model_checkpoint", {})
+    ckpt = CheckpointManager(
+        ckpt_cfg.get("dirpath", os.path.join(output_dir, "checkpoints")),
+        save_top_k=ckpt_cfg.get("save_top_k", -1),
+    )
+    trainer = Trainer(
+        output_dir=output_dir, logger=logger, ckpt=ckpt, **trainer_cfg
+    )
+
+    state = None
+    if cfg.get("train", True):
+        log.info("starting training")
+        state = trainer.fit(
+            task, datamodule, seed=seed, ckpt_path=cfg.get("ckpt_path"),
+            config_snapshot=cfg,
+        )
+
+    if cfg.get("test", False):
+        log.info("starting testing")
+        if state is None:
+            state = trainer_restore_state(trainer, task, datamodule, cfg)
+        trainer.test(task, state, datamodule)
+
+    log.info(f"output dir: {output_dir}")
+    return trainer.metrics, output_dir
+
+
+def trainer_restore_state(trainer, task, datamodule, cfg):
+    from gennerf_tpu.train import CheckpointManager
+
+    import jax
+
+    first = next(iter(datamodule.val_dataloader()))
+    state = task.init_state(jax.random.PRNGKey(0), first)
+    ckpt_path = cfg.get("ckpt_path") or os.path.join(
+        cfg["paths"]["output_dir"], "checkpoints"
+    )
+    return CheckpointManager(ckpt_path).restore(state)
+
+
+def main(argv=None):
+    from gennerf_tpu.utils.config import compose
+
+    argv = argv if argv is not None else sys.argv[1:]
+    config_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "configs")
+    cfg = compose(config_dir, "train", argv)
+    try:
+        metrics, _ = train(cfg)
+        return metrics
+    except Exception:
+        # reference task_wrapper: log the crash, re-raise (utils.py)
+        traceback.print_exc()
+        raise
+
+
+if __name__ == "__main__":
+    main()

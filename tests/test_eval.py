@@ -1,0 +1,93 @@
+"""Evaluation metrics + native rasterizer tests on analytic geometry."""
+import numpy as np
+import pytest
+
+from gennerf_tpu.eval.metrics import eval_depth, eval_mesh, eval_tsdf
+from gennerf_tpu.utils.mesh import Mesh
+
+
+def icosphere(radius=0.5, center=(0, 0, 0), n=12):
+    """Simple UV-sphere mesh."""
+    thetas = np.linspace(0, np.pi, n)
+    phis = np.linspace(0, 2 * np.pi, 2 * n, endpoint=False)
+    verts = []
+    for t in thetas:
+        for p in phis:
+            verts.append([
+                np.sin(t) * np.cos(p), np.sin(t) * np.sin(p), np.cos(t)
+            ])
+    verts = np.array(verts) * radius + np.asarray(center)
+    faces = []
+    P = len(phis)
+    for i in range(n - 1):
+        for j in range(P):
+            a = i * P + j
+            b = i * P + (j + 1) % P
+            c = (i + 1) * P + j
+            d = (i + 1) * P + (j + 1) % P
+            faces += [[a, b, c], [b, d, c]]
+    return Mesh(verts, np.array(faces))
+
+
+class TestMeshMetrics:
+    def test_identical_meshes_perfect_score(self):
+        m = icosphere()
+        out = eval_mesh(m, m, threshold=0.05)
+        assert out["prec"] == 1.0 and out["recal"] == 1.0 and out["fscore"] == 1.0
+        assert out["dist1"] < 1e-6
+
+    def test_shifted_mesh_degrades(self):
+        m1 = icosphere()
+        m2 = icosphere(center=(0.2, 0, 0))
+        out = eval_mesh(m1, m2, threshold=0.05)
+        assert out["fscore"] < 1.0
+        assert 0.0 < out["dist1"] < 0.25
+
+    def test_fscore_threshold_sensitivity(self):
+        m1 = icosphere()
+        m2 = icosphere(center=(0.03, 0, 0))
+        tight = eval_mesh(m1, m2, threshold=0.01)
+        loose = eval_mesh(m1, m2, threshold=0.10)
+        assert loose["fscore"] > tight["fscore"]
+
+
+class TestTsdfL1:
+    def test_masked_l1(self):
+        trgt = np.ones((4, 4, 4), np.float32)
+        trgt[0, 0, :] = 0.2  # only observed region
+        pred = np.zeros((4, 4, 4), np.float32)
+        out = eval_tsdf(pred, trgt)
+        assert out["l1"] == pytest.approx(0.2)
+
+
+class TestDepthMetrics:
+    def test_perfect_prediction(self):
+        d = np.random.default_rng(0).random((10, 12)).astype(np.float32) + 0.5
+        m = eval_depth(d, d)
+        assert m["AbsRel"] == 0 and m["RMSE"] == 0 and m["r1"] == 1.0
+        assert m["complete"] == 1.0
+
+    def test_scaled_prediction(self):
+        d = np.full((10, 10), 2.0, np.float32)
+        m = eval_depth(d * 1.1, d)
+        assert m["AbsRel"] == pytest.approx(0.1, rel=1e-5)
+        assert m["r1"] == 1.0  # 1.1 < 1.25
+
+
+class TestRasterizer:
+    def test_sphere_depth_matches_analytic(self):
+        from gennerf_tpu.data.synthetic import look_at_pose, render_scene
+        from gennerf_tpu.eval.evaluation import render_mesh_depth
+
+        H, W = 60, 80
+        K = np.array([[60.0, 0, W / 2], [0, 60.0, H / 2], [0, 0, 1]], np.float32)
+        pose = look_at_pose([2.0, 0, 0.5], [0, 0, 0.5])
+        mesh = icosphere(radius=0.5, center=(0, 0, 0.5), n=48)
+        d_mesh = render_mesh_depth(mesh, K, pose, H, W)
+        d_true, _ = render_scene(H, W, K, pose, sphere_center=(0, 0, 0.5),
+                                 sphere_radius=0.5, floor_z=-100)
+        both = (d_mesh > 0) & (d_true > 0)
+        assert both.mean() > 0.05
+        err = np.abs(d_mesh[both] - d_true[both])
+        # coarse mesh discretization bounds the error
+        assert np.median(err) < 0.02

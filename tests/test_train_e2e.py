@@ -1,0 +1,161 @@
+"""End-to-end integration: synthetic scene -> data pipeline -> GenNerf
+pointnet-only training via the real CLI surface -> loss decreases ->
+reconstruction artifacts written. This is the reference's overfit-fixture
+test strategy (SURVEY §4) made automatic."""
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+
+@pytest.fixture(scope="module")
+def synth_data(tmp_path_factory):
+    from gennerf_tpu.data.synthetic import generate_scene
+
+    root = tmp_path_factory.mktemp("synth")
+    info_path = generate_scene(str(root), num_frames=12, H=48, W=64,
+                               voxel_sizes=(4, 8, 16))
+    return str(root), info_path
+
+
+class TestSyntheticData:
+    def test_layout_matches_reference_format(self, synth_data):
+        root, info_path = synth_data
+        info = json.load(open(info_path))
+        assert {"dataset", "scene", "frames", "file_name_vol_04"} <= set(info)
+        assert len(info["frames"]) == 12
+        f0 = info["frames"][0]
+        assert {"file_name_image", "file_name_depth", "intrinsics", "pose"} <= set(f0)
+        # GT volume loads through the TSDF npz contract
+        from gennerf_tpu.tsdf import TSDF
+
+        t = TSDF.load(info["file_name_vol_04"])
+        assert t.voxel_size == pytest.approx(0.04)
+        vol = np.asarray(t.tsdf_vol)
+        assert (vol < 0).any() and (vol > 0).any()
+
+    def test_datamodule_batch_shapes(self, synth_data):
+        root, info_path = synth_data
+        from gennerf_tpu.data.datamodule import ScannetDataModule
+
+        cfg = {
+            "data_dir": root,
+            "datasets_train": ["scans/scene_synth0/info.json"],
+            "datasets_val": ["scans/scene_synth0/info.json"],
+            "datasets_test": ["scans/scene_synth0/info.json"],
+            "dataset_type": "sequences",
+            "sequence_amount_train": 1.0, "sequence_amount_val": 1.0,
+            "sequence_amount_test": 1.0,
+            "sequence_length": 12, "sequence_locations": "free",
+            "sequence_order": "random",
+            "num_frames_train": 4, "num_frames_val": 4, "num_frames_test": 4,
+            "frame_locations": "evenly_spaced", "frame_order": "random",
+            "batch_size": 1, "voxel_size": 0.08,
+            "voxel_dim_train": [40, 40, 20], "voxel_dim_val": [40, 40, 20],
+            "voxel_dim_test": [40, 40, 20],
+            "voxel_types": ["tsdf"], "from_archive": False,
+        }
+        dm = ScannetDataModule(cfg)
+        batch = next(iter(dm.train_dataloader()))
+        assert batch["image"].shape == (1, 4, 3, 480, 640)
+        assert batch["depth"].shape == (1, 4, 480, 640)
+        assert batch["projection"].shape == (1, 4, 3, 4)
+        assert batch["pose"].shape == (1, 4, 4, 4)
+        assert batch["intrinsics"].shape == (1, 4, 3, 3)
+        assert batch["vol_08_tsdf"].shape == (1, 1, 40, 40, 20)
+        # depth is metric and mostly valid
+        assert 0.5 < batch["depth"][batch["depth"] > 0].mean() < 5.0
+
+    def test_projection_consistency(self, synth_data):
+        """Unprojecting the resized depth through the batch projection must
+        land points near the known scene geometry (sphere+floor box)."""
+        root, info_path = synth_data
+        import jax.numpy as jnp
+
+        from gennerf_tpu import ops
+        from gennerf_tpu.data.datamodule import ScannetDataModule
+
+        cfg = {
+            "data_dir": root,
+            "datasets_train": ["scans/scene_synth0/info.json"],
+            "datasets_val": ["scans/scene_synth0/info.json"],
+            "datasets_test": ["scans/scene_synth0/info.json"],
+            "dataset_type": "frame", "frame_idx": 0,
+            "length_train": 1, "length_val": 1, "length_test": 1,
+            "batch_size": 1, "voxel_size": 0.08,
+            "voxel_dim_train": [40, 40, 20], "voxel_dim_val": [40, 40, 20],
+            "voxel_dim_test": [40, 40, 20],
+            "voxel_types": ["tsdf"], "from_archive": False,
+        }
+        dm = ScannetDataModule(cfg)
+        batch = next(iter(dm.train_dataloader()))
+        depth = jnp.asarray(batch["depth"][0])  # (1, H, W)
+        proj = jnp.asarray(batch["projection"][0])
+        pts = np.asarray(ops.get_3d_points(depth, proj))[0]  # (H, W, 3)
+        d = np.asarray(depth[0])
+        H, W = d.shape
+        # reproject: every valid point must land back on its own pixel
+        hom = np.concatenate([pts, np.ones_like(pts[..., :1])], -1)
+        cam = np.einsum("ij,hwj->hwi", np.asarray(proj[0], np.float64), hom.astype(np.float64))
+        uu, vv = np.meshgrid(np.arange(W), np.arange(H))
+        mask = d > 0
+        u_err = np.abs(cam[..., 0] / cam[..., 2] - uu)[mask]
+        v_err = np.abs(cam[..., 1] / cam[..., 2] - vv)[mask]
+        assert np.median(u_err) < 0.5 and np.median(v_err) < 0.5
+        np.testing.assert_allclose(cam[..., 2][mask], d[mask], rtol=5e-2)
+
+
+@pytest.mark.slow
+class TestOverfitTraining:
+    def test_train_cli_overfit_and_reconstruct(self, synth_data, tmp_path):
+        """Drive the real training CLI on the synthetic scene."""
+        root, _ = synth_data
+        import train as train_cli
+
+        out = str(tmp_path / "run")
+        metrics = train_cli.main([
+            "experiment=overfit_synthetic",
+            "data=frame",  # single-frame overfit fixture (reference FrameDataset)
+            f"paths.data_dir={root}",
+            f"paths.output_dir={out}",
+            "trainer.max_epochs=8",
+            "trainer.check_val_every_n_epoch=4",
+            "trainer.num_sanity_val_steps=0",
+            # small shapes for CI speed
+            "data.datasets_train=[scans/scene_synth0/info.json]",
+            "data.datasets_val=[scans/scene_synth0/info.json]",
+            "data.datasets_test=[scans/scene_synth0/info.json]",
+            "data.frame_idx=0",
+            "data.length_train=4",
+            "data.length_val=1",
+            "data.voxel_dim_train=[40,40,20]",
+            "data.voxel_dim_val=[40,40,20]",
+            "data.voxel_dim_test=[40,40,20]",
+            "data.voxel_size=0.08",
+            "model.encoder.pointnet.plane_resolution=32",
+            "model.encoder.pointnet.num_sparse_points=128",
+            "model.mlp.d_hidden=128",
+            "model.ray.num_rays=32",
+            "model.optimizer.lr=0.001",
+        ])
+        assert "train_loss" in metrics or "train_combined" in metrics
+        # loss went down over training
+        jsonl = os.path.join(out, "csv", "metrics.jsonl")
+        rows = [json.loads(l) for l in open(jsonl)]
+        train_rows = [r["train_combined"] for r in rows if "train_combined" in r]
+        assert len(train_rows) >= 10
+        # supervision points are resampled every step -> compare window means
+        first = np.mean(train_rows[:4])
+        last = np.mean(train_rows[-4:])
+        assert last < first * 0.8, (first, last)
+        # reconstruction artifacts written
+        local = os.path.join(out, "local")
+        assert os.path.exists(os.path.join(local, "val_tsdf", "val_pred_tsdf.npz"))
+        assert os.path.exists(os.path.join(local, "val_mesh", "val_trgt_mesh.ply"))
+        # checkpoints saved
+        assert os.path.isdir(os.path.join(out, "checkpoints"))
