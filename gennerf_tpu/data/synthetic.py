@@ -86,14 +86,15 @@ def render_scene(
     valid = np.isfinite(t) & (t <= max_depth)
     depth = np.where(valid, t, 0.0).astype(np.float32)
 
-    # shading
-    pts = o + t[..., None] * d
-    light = np.array([0.4, 0.3, 0.85])
-    light /= np.linalg.norm(light)
-    n_sphere = pts - c
-    n_sphere /= np.maximum(np.linalg.norm(n_sphere, axis=-1, keepdims=True), 1e-9)
-    lambert_s = np.clip((n_sphere * light).sum(-1), 0.15, 1.0)
-    checker = ((np.floor(pts[..., 0] * 2) + np.floor(pts[..., 1] * 2)) % 2).astype(np.float64)
+    # shading (inf t -> NaN points; masked out below, silence the arithmetic)
+    with np.errstate(invalid="ignore", over="ignore"):
+        pts = o + np.where(np.isfinite(t), t, 0.0)[..., None] * d
+        light = np.array([0.4, 0.3, 0.85])
+        light /= np.linalg.norm(light)
+        n_sphere = pts - c
+        n_sphere /= np.maximum(np.linalg.norm(n_sphere, axis=-1, keepdims=True), 1e-9)
+        lambert_s = np.clip((n_sphere * light).sum(-1), 0.15, 1.0)
+        checker = ((np.floor(pts[..., 0] * 2) + np.floor(pts[..., 1] * 2)) % 2).astype(np.float64)
     color = np.zeros((H, W, 3), np.float64)
     color[..., 0] = np.where(sphere_closer, 0.9 * lambert_s, 0.3 + 0.4 * checker)
     color[..., 1] = np.where(sphere_closer, 0.3 * lambert_s, 0.5 + 0.3 * checker)
