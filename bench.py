@@ -137,11 +137,13 @@ def main():
     from gennerf_tpu.data.synthetic import render_scene, look_at_pose
     from gennerf_tpu.models import GenNerf
     from gennerf_tpu.models.gen_nerf import GenNerf as _G
-    from gennerf_tpu.train.predict import decode_dense, dense_grid_points
+    from gennerf_tpu.train.predict import decode_dense, decode_dense_fused, dense_grid_points
 
     platform = jax.devices()[0].platform
     cfg = _flagship_cfg()
-    model = GenNerf(cfg)
+    # decoder in bf16 (params fp32): the inference numerics policy — TSDF
+    # values live in [-1,1] and tolerate bf16 activations
+    model = GenNerf(cfg, dtype=jnp.bfloat16)
 
     # synthetic 8-frame scene at the reference input resolution
     H, W = 480, 640
@@ -174,16 +176,29 @@ def main():
     n_pts = pts.shape[0]
     chunk_size = 262144
 
+    # decode path: fused Pallas decoder kernel when supported, XLA otherwise
+    try:
+        def decode(p):
+            return decode_dense_fused(model, variables, repr_, p, jnp.zeros(3))
+
+        decode(pts)
+        path = "pallas-fused"
+    except Exception:
+        def decode(p):
+            return decode_dense(model, variables, repr_, p, jnp.zeros(3), chunk_size)
+
+        path = "xla"
+
     # compile + warmup; NOTE: on the tunneled TPU platform block_until_ready
     # returns before remote execution completes, so timings force a host
     # fetch of the result (a sum) to guarantee end-to-end completion.
-    tsdf = decode_dense(model, variables, repr_, pts, jnp.zeros(3), chunk_size)
+    tsdf = decode(pts)
     float(tsdf.sum())
     # steady state (best of 3)
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        tsdf = decode_dense(model, variables, repr_, pts, jnp.zeros(3), chunk_size)
+        tsdf = decode(pts)
         float(tsdf.sum())
         times.append(time.perf_counter() - t0)
     pps = n_pts / min(times)
@@ -191,7 +206,7 @@ def main():
     baseline = get_baseline()
     ref_pps = baseline["reference_decode_points_per_sec"]
     print(json.dumps({
-        "metric": f"dense TSDF decode throughput ({platform}, flagship GenNerf decoder, {n_pts} pts)",
+        "metric": f"dense TSDF decode throughput ({platform}/{path}, flagship GenNerf decoder, {n_pts} pts)",
         "value": round(pps),
         "unit": "points/s",
         "vs_baseline": round(pps / ref_pps, 2),

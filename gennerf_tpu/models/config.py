@@ -41,8 +41,12 @@ class PointnetConfig:
     scatter_type: str = "max"
     plane_type: Tuple[str, ...] = ("xz", "xy", "yz")
     plane_resolution: int = 128
+    grid_resolution: int = 32
     n_blocks: int = 5
     unet: bool = True
+    unet3d: bool = False
+    unet3d_f_maps: int = 32
+    unet3d_num_levels: int = 3
     unet_depth: int = 5
     unet_merge_mode: str = "concat"
     unet_start_filts: int = 32
@@ -139,6 +143,15 @@ class FeatureLossConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class DistillLossConfig:
+    """Semantic distillation of e_sem toward 2D teacher features rendered at
+    surface points (the reference's intended-but-stubbed VLM path)."""
+
+    weight: float = 1.0
+    metric: str = "cosine"  # 'cosine' | 'l2'
+
+
+@dataclasses.dataclass(frozen=True)
 class LossConfig:
     use_tsdf: bool = True
     tsdf: TsdfLossConfig = TsdfLossConfig()
@@ -150,6 +163,8 @@ class LossConfig:
     gradient: GradientLossConfig = GradientLossConfig()
     use_feature: bool = False
     feature: FeatureLossConfig = FeatureLossConfig()
+    use_distill: bool = False
+    distill: DistillLossConfig = DistillLossConfig()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -167,6 +182,15 @@ class SchedulerConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class TeacherConfig:
+    type: str = "none"  # 'none' | 'random_projection'
+    feature_dim: int = 64
+    patch: int = 8
+    stride: int = 4
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
 class GenNerfConfig:
     type: str = "GenNerf"
     voxel_size: float = 0.04
@@ -181,6 +205,7 @@ class GenNerfConfig:
     use_code: bool = True
     code: CodeConfig = CodeConfig()
     loss: LossConfig = LossConfig()
+    teacher: TeacherConfig = TeacherConfig()
     optimizer: OptimizerConfig = OptimizerConfig()
     scheduler: SchedulerConfig = SchedulerConfig()
 

@@ -27,7 +27,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.coords import normalize_coordinate
+from ..ops.coords import normalize_3d_coordinate, normalize_coordinate
 from ..ops.interpolation import sample_plane_feature, trilinear_interpolation
 from ..ops.projection import backproject, get_3d_points
 from ..ops.sampling import farthest_point_sample
@@ -51,6 +51,7 @@ class SceneRepr(NamedTuple):
 class GenNerf(nn.Module):
     cfg: GenNerfConfig
     teacher: Optional[nn.Module] = None  # VLM teacher for use_auxiliary
+    dtype: jnp.dtype = jnp.float32  # decoder compute dtype (bf16 = MXU full rate)
 
     def setup(self):
         enc = self.cfg.encoder
@@ -79,9 +80,13 @@ class GenNerf(nn.Module):
                 unet_merge_mode=p.unet_merge_mode,
                 unet_start_filts=p.unet_start_filts,
                 plane_resolution=p.plane_resolution,
+                grid_resolution=p.grid_resolution,
                 plane_type=p.plane_type,
                 padding=p.padding,
                 n_blocks=p.n_blocks,
+                use_unet3d=p.unet3d,
+                unet3d_f_maps=p.unet3d_f_maps,
+                unet3d_num_levels=p.unet3d_num_levels,
             )
             self.merger = FeaturePlaneMerger(
                 strategy=enc.plane_merger.strategy,
@@ -106,6 +111,7 @@ class GenNerf(nn.Module):
             use_spade=m.use_spade,
             use_layer_norm=m.use_layer_norm,
             alpha=m.alpha,
+            dtype=self.dtype,
         )
         self.head_geo = TSDFHeadSimple()
 
@@ -207,6 +213,14 @@ class GenNerf(nn.Module):
         if cfg.encoder.use_pointnet and repr.planes is not None:
             p = cfg.encoder.pointnet
             feat_pn = 0.0
+            if "grid" in repr.planes:
+                # ConvONet grid variant: trilinear sample of the feature grid
+                p_nor = normalize_3d_coordinate(xyz, padding=p.padding)
+                vol_cl = repr.planes["grid"].transpose(0, 2, 3, 4, 1)
+                grid_reso = vol_cl.shape[1]
+                feat_pn += trilinear_interpolation(
+                    vol_cl, p_nor, jnp.zeros(3), 1.0 / grid_reso
+                )
             for plane in ("xz", "xy", "yz"):
                 if plane in repr.planes:
                     coords = normalize_coordinate(xyz, padding=p.padding, plane=plane)

@@ -83,6 +83,33 @@ def loss_feat(cfg: LossConfig, outputs, targets) -> jnp.ndarray:
     return 1.0 / jnp.maximum(contribution, 1e-12)
 
 
+def loss_distill(cfg: LossConfig, outputs, targets) -> jnp.ndarray:
+    """Distill e_sem toward teacher features at surface samples (the
+    concrete version of the reference's intended VLM path, model.py:32).
+
+    targets['teacher_feat'] (B, R, C) vs outputs['feat_sem_surface'] (B, R, C);
+    masked by targets['teacher_mask'] (B, R, 1) when present.
+    """
+    pred = outputs["feat_sem_surface"]
+    trgt = targets["teacher_feat"]
+    if cfg.distill.metric == "cosine":
+        num = (pred * trgt).sum(-1, keepdims=True)
+        den = jnp.maximum(
+            jnp.linalg.norm(pred, axis=-1, keepdims=True)
+            * jnp.linalg.norm(trgt, axis=-1, keepdims=True),
+            1e-6,
+        )
+        loss = 1.0 - num / den
+    elif cfg.distill.metric == "l2":
+        loss = ((pred - trgt) ** 2).mean(-1, keepdims=True)
+    else:
+        raise NotImplementedError(cfg.distill.metric)
+    mask = targets.get("teacher_mask")
+    if mask is not None:
+        loss = loss * mask
+    return loss
+
+
 def calculate_loss(
     cfg: LossConfig, outputs, targets, num_rays: int = 0
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
@@ -114,6 +141,11 @@ def calculate_loss(
         m = loss_feat(cfg, outputs, targets)
         losses["feature"] = m.mean()
         loss_mat = loss_mat + cfg.feature.weight * m
+    if cfg.use_distill and "teacher_feat" in targets:
+        m = loss_distill(cfg, outputs, targets)
+        losses["distill"] = m.mean()
+        # separate sample set from the main loss matrix -> add its mean
+        loss_mat = loss_mat + cfg.distill.weight * m.mean()
     combined = loss_mat.mean() if hasattr(loss_mat, "mean") else loss_mat
     losses["combined"] = combined
     return combined, losses

@@ -16,8 +16,8 @@ from typing import Dict, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops.coords import coordinate2index, normalize_coordinate
-from ..ops.scatter import pool_and_gather, scatter_to_plane
+from ..ops.coords import coordinate2index, normalize_3d_coordinate, normalize_coordinate
+from ..ops.scatter import pool_and_gather, scatter_to_plane, segment_mean
 from .common import he_normal, zeros_init
 from .resnetfc import ResnetBlockFC
 from .unet import UNet
@@ -39,9 +39,13 @@ class LocalPoolPointnet(nn.Module):
     unet_merge_mode: str = "concat"
     unet_start_filts: int = 32
     plane_resolution: int = 128
+    grid_resolution: int = 32
     plane_type: Sequence[str] = ("xz", "xy", "yz")
     padding: float = 0.1
     n_blocks: int = 5
+    use_unet3d: bool = False
+    unet3d_f_maps: int = 32
+    unet3d_num_levels: int = 3
 
     @nn.compact
     def __call__(self, p: jnp.ndarray) -> Dict[str, jnp.ndarray]:
@@ -53,19 +57,26 @@ class LocalPoolPointnet(nn.Module):
             dict plane -> (B, c_dim, reso, reso).
         """
         reso = self.plane_resolution
-        num_cells = reso * reso
+        grid_reso = self.grid_resolution
 
         index = {}
+        num_cells = {}
         for plane in self.plane_type:
-            coord = normalize_coordinate(p, padding=self.padding, plane=plane)
-            index[plane] = coordinate2index(coord, reso)  # (B, N)
+            if plane == "grid":
+                coord = normalize_3d_coordinate(p, padding=self.padding)
+                index[plane] = coordinate2index(coord, grid_reso, coord_type="3d")
+                num_cells[plane] = grid_reso**3
+            else:
+                coord = normalize_coordinate(p, padding=self.padding, plane=plane)
+                index[plane] = coordinate2index(coord, reso)  # (B, N)
+                num_cells[plane] = reso * reso
 
         net = nn.Dense(2 * self.hidden_dim, name="fc_pos")(p)
         net = ResnetBlockFC(size_out=self.hidden_dim, name="block_0")(net)
         for i in range(1, self.n_blocks):
             pooled = 0
             for plane in self.plane_type:
-                pooled += pool_and_gather(net, index[plane], num_cells, self.scatter_type)
+                pooled += pool_and_gather(net, index[plane], num_cells[plane], self.scatter_type)
             net = jnp.concatenate([net, pooled], axis=-1)
             net = ResnetBlockFC(size_out=self.hidden_dim, name=f"block_{i}")(net)
 
@@ -83,8 +94,26 @@ class LocalPoolPointnet(nn.Module):
             else None
         )  # one UNet shared across the three planes (reference pointnet.py:50)
 
+        unet3d = None
+        if self.use_unet3d and "grid" in self.plane_type:
+            from .unet3d import UNet3D
+
+            unet3d = UNet3D(self.c_dim, f_maps=self.unet3d_f_maps,
+                            num_levels=self.unet3d_num_levels, name="unet3d")
+
         fea = {}
         for plane in self.plane_type:
+            if plane == "grid":
+                g = segment_mean(c, index[plane], grid_reso**3)  # (B, r^3, C)
+                B = p.shape[0]
+                # flat index = x0 + r*(x1 + r*x2) -> reshape (z-major) then
+                # transpose to (B, C, x, y, z)
+                vol = g.reshape(B, grid_reso, grid_reso, grid_reso, self.c_dim)
+                vol = vol.transpose(0, 4, 3, 2, 1)  # (B, C, x0, x1, x2)
+                if unet3d is not None:
+                    vol = unet3d(vol)
+                fea[plane] = vol
+                continue
             plane_fea = scatter_to_plane(c, index[plane], reso, reduce="mean")
             if unet is not None:
                 plane_fea = unet(plane_fea)

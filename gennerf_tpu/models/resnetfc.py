@@ -32,11 +32,16 @@ def combine_interleaved(t: jnp.ndarray, inner_dims: Sequence[int] = (1,), agg_ty
 
 class ResnetBlockFC(nn.Module):
     """Two-layer FC residual block; fc_1 zero-initialized so the block starts
-    as identity (reference resnetfc.py:10-63 / layers.py:7-49)."""
+    as identity (reference resnetfc.py:10-63 / layers.py:7-49).
+
+    `dtype` selects the computation precision (params stay float32): pass
+    jnp.bfloat16 to run the matmuls on the MXU at full rate.
+    """
 
     size_out: int | None = None
     size_h: int | None = None
     beta: float = 0.0
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -45,12 +50,12 @@ class ResnetBlockFC(nn.Module):
         size_h = self.size_h or min(size_in, size_out)
         actvn = make_activation(self.beta)
 
-        net = nn.Dense(size_h, kernel_init=he_normal(), bias_init=zeros_init)(actvn(x))
-        dx = nn.Dense(size_out, kernel_init=zeros_init, bias_init=zeros_init)(actvn(net))
+        net = nn.Dense(size_h, kernel_init=he_normal(), bias_init=zeros_init, dtype=self.dtype)(actvn(x))
+        dx = nn.Dense(size_out, kernel_init=zeros_init, bias_init=zeros_init, dtype=self.dtype)(actvn(net))
         if size_in == size_out:
             x_s = x
         else:
-            x_s = nn.Dense(size_out, use_bias=False, kernel_init=he_normal())(x)
+            x_s = nn.Dense(size_out, use_bias=False, kernel_init=he_normal(), dtype=self.dtype)(x)
         return x_s + dx
 
 
@@ -73,6 +78,7 @@ class ResnetFC(nn.Module):
     use_spade: bool = False
     use_layer_norm: bool = False
     alpha: float = 1.0
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -92,7 +98,8 @@ class ResnetFC(nn.Module):
             x = zx
 
         if self.d_in > 0:
-            x = nn.Dense(self.d_hidden, kernel_init=he_normal(), bias_init=zeros_init, name="lin_in")(x)
+            x = nn.Dense(self.d_hidden, kernel_init=he_normal(), bias_init=zeros_init,
+                         dtype=self.dtype, name="lin_in")(x)
         else:
             x = jnp.zeros(zx.shape[:-1] + (self.d_hidden,), zx.dtype)
 
@@ -108,22 +115,24 @@ class ResnetFC(nn.Module):
             if self.d_latent > 0 and blkid < self.combine_layer and blkid < n_lin_z:
                 tz = nn.Dense(
                     self.d_hidden, kernel_init=he_normal(), bias_init=zeros_init,
-                    name=f"lin_z_{blkid}",
+                    dtype=self.dtype, name=f"lin_z_{blkid}",
                 )(z)
                 if self.use_spade:
                     sz = nn.Dense(
                         self.d_hidden, kernel_init=he_normal(), bias_init=zeros_init,
-                        name=f"scale_z_{blkid}",
+                        dtype=self.dtype, name=f"scale_z_{blkid}",
                     )(z)
                     x = sz * x + alpha * tz
                 else:
                     x = x + alpha * tz
 
-            x = ResnetBlockFC(beta=self.beta, name=f"block_{blkid}")(x)
+            x = ResnetBlockFC(beta=self.beta, dtype=self.dtype, name=f"block_{blkid}")(x)
             if self.use_layer_norm:
                 x = nn.LayerNorm(name=f"ln_{blkid}")(x)
 
-        out = nn.Dense(self.d_out, kernel_init=he_normal(), bias_init=zeros_init, name="lin_out")(actvn(x))
+        out = nn.Dense(self.d_out, kernel_init=he_normal(), bias_init=zeros_init,
+                       dtype=self.dtype, name="lin_out")(actvn(x))
+        out = out.astype(jnp.float32)
         if ret_last_feat:
             return jnp.concatenate([out, x], axis=-1)
         return out

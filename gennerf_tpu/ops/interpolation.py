@@ -46,14 +46,16 @@ def grid_sample_2d(
     ix = _unnormalize(grid[..., 0], IW, align_corners)
     iy = _unnormalize(grid[..., 1], IH, align_corners)
 
-    flat = image.reshape(B, C, IH * IW)
+    # channels-last row gather: each tap reads a contiguous C-vector (one
+    # vectorized row gather) instead of C strided scalar gathers
+    flat = image.transpose(0, 2, 3, 1).reshape(B, IH * IW, C)
 
     def gather(yi, xi):
         yi = jnp.clip(yi, 0, IH - 1)
         xi = jnp.clip(xi, 0, IW - 1)
-        idx = (yi * IW + xi).reshape(B, 1, H * W)
-        vals = jnp.take_along_axis(flat, idx, axis=2)
-        return vals.reshape(B, C, H, W)
+        idx = (yi * IW + xi).reshape(B, H * W, 1)
+        vals = jnp.take_along_axis(flat, idx, axis=1)  # (B, H*W, C)
+        return vals.reshape(B, H, W, C).transpose(0, 3, 1, 2)
 
     if mode == "nearest":
         return gather(jnp.round(iy).astype(jnp.int32), jnp.round(ix).astype(jnp.int32))
@@ -99,22 +101,23 @@ def grid_sample_3d(
     iy = _unnormalize(grid[..., 1], IH, align_corners)
     iz = _unnormalize(grid[..., 2], ID, align_corners)
 
-    flat = volume.reshape(B, C, ID * IH * IW)
+    # channels-last row gather (contiguous C-vector per tap)
+    flat = volume.transpose(0, 2, 3, 4, 1).reshape(B, ID * IH * IW, C)
     zeros_pad = padding_mode == "zeros"
 
     def gather(zi, yi, xi):
         if zeros_pad:
             inb = (
                 (zi >= 0) & (zi < ID) & (yi >= 0) & (yi < IH) & (xi >= 0) & (xi < IW)
-            )[:, None]  # (B, 1, N)
+            )[..., None]  # (B, N, 1)
         zi = jnp.clip(zi, 0, ID - 1)
         yi = jnp.clip(yi, 0, IH - 1)
         xi = jnp.clip(xi, 0, IW - 1)
-        idx = ((zi * IH + yi) * IW + xi).reshape(B, 1, N)
-        vals = jnp.take_along_axis(flat, idx, axis=2)  # (B, C, N)
+        idx = ((zi * IH + yi) * IW + xi).reshape(B, N, 1)
+        vals = jnp.take_along_axis(flat, idx, axis=1)  # (B, N, C)
         if zeros_pad:
             vals = jnp.where(inb, vals, 0.0)
-        return vals
+        return vals.transpose(0, 2, 1)  # (B, C, N)
 
     if mode == "nearest":
         return gather(

@@ -1,0 +1,200 @@
+"""Fused ResnetFC TSDF decoder kernel.
+
+The dense-decode hot path (SURVEY §3 hot loop #1). The XLA version writes
+every Dense intermediate — ~14 (N, 256) tensors — back to HBM, making the
+decoder HBM-bound at ~10% MXU utilization. This kernel streams point tiles
+through the ENTIRE decoder (lin_in -> n_blocks x [latent-inject + 2-layer
+residual block] -> lin_out -> tanh head) inside VMEM: per tile, only the
+(TILE, d_in+d_code) inputs are read and (TILE,) TSDF values written.
+
+Weights (~3 MB for the flagship d_hidden=256 config) are resident in VMEM
+across the whole grid. Matmuls run in bf16 on the MXU with f32 accumulation.
+
+Supported decoder config: ReLU (beta=0), no SPADE, no LayerNorm,
+combine_layer > n_blocks (the reference flagship + default settings).
+Callers fall back to the XLA path otherwise.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _kernel(feat_ref, code_ref, w_in_ref, b_in_ref, wz_ref, bz_ref,
+            w0_ref, b0_ref, w1_ref, b1_ref, w_out_ref, b_out_ref,
+            w_head_ref, alpha_ref, out_ref, *, n_blocks: int):
+    dtype = jnp.bfloat16
+    f32 = jnp.float32
+
+    def dot(a, w):
+        return jax.lax.dot(a.astype(dtype), w.astype(dtype),
+                           preferred_element_type=f32)
+
+    alpha = alpha_ref[0, 0]
+    x = dot(feat_ref[:], w_in_ref[:]) + b_in_ref[:]
+    code = code_ref[:]
+    for i in range(n_blocks):
+        tz = dot(code, wz_ref[i]) + bz_ref[i]
+        x = x + alpha * tz
+        net = dot(jnp.maximum(x, 0.0), w0_ref[i]) + b0_ref[i]
+        dx = dot(jnp.maximum(net, 0.0), w1_ref[i]) + b1_ref[i]
+        x = x + dx
+    out = dot(jnp.maximum(x, 0.0), w_out_ref[:]) + b_out_ref[:]
+    # head consumes feat_geo = out[:, :d_geo]; w_head is padded to full width
+    # with zeros beyond d_geo, so the full-width dot is exact
+    tsdf = jnp.tanh(dot(out, w_head_ref[:]))
+    out_ref[:] = tsdf[:, 0]
+
+
+def extract_resnetfc_weights(mlp_params: dict, head_params: dict, n_blocks: int,
+                             d_geo: int):
+    """Pack flax ResnetFC + TSDFHeadSimple params into padded kernel arrays.
+
+    Returns a dict of stacked, lane-padded weight arrays (all float32).
+    """
+    w_in = np.asarray(mlp_params["lin_in"]["kernel"])   # (d_in, H)
+    b_in = np.asarray(mlp_params["lin_in"]["bias"])
+    H = w_in.shape[1]
+    wz = np.stack([np.asarray(mlp_params[f"lin_z_{i}"]["kernel"]) for i in range(n_blocks)])
+    bz = np.stack([np.asarray(mlp_params[f"lin_z_{i}"]["bias"]) for i in range(n_blocks)])
+    w0 = np.stack([np.asarray(mlp_params[f"block_{i}"]["Dense_0"]["kernel"]) for i in range(n_blocks)])
+    b0 = np.stack([np.asarray(mlp_params[f"block_{i}"]["Dense_0"]["bias"]) for i in range(n_blocks)])
+    w1 = np.stack([np.asarray(mlp_params[f"block_{i}"]["Dense_1"]["kernel"]) for i in range(n_blocks)])
+    b1 = np.stack([np.asarray(mlp_params[f"block_{i}"]["Dense_1"]["bias"]) for i in range(n_blocks)])
+    w_out = np.asarray(mlp_params["lin_out"]["kernel"])  # (H, d_out)
+    b_out = np.asarray(mlp_params["lin_out"]["bias"])
+    w_head = np.asarray(head_params["Dense_0"]["kernel"])  # (d_geo, 1)
+    b_head = np.asarray(head_params["Dense_0"]["bias"])    # (1,)
+    alpha = np.asarray(mlp_params["alpha"], np.float32).reshape(1, 1)
+
+    d_in = w_in.shape[0]
+    d_code = wz.shape[1]
+    d_out = w_out.shape[1]
+    d_in_p = _round_up(d_in, 128)
+    d_code_p = _round_up(d_code, 128)
+    d_out_p = _round_up(d_out, 128)
+
+    def pad2(a, r, c):
+        return np.pad(a, ((0, r - a.shape[0]), (0, c - a.shape[1]))).astype(np.float32)
+
+    def pad3(a, r, c):
+        return np.pad(a, ((0, 0), (0, r - a.shape[1]), (0, c - a.shape[2]))).astype(np.float32)
+
+    # head folded over the padded d_out axis: rows beyond d_geo are zero, and
+    # the head bias rides an extra all-ones input column... TSDFHeadSimple has
+    # bias zeros-init; fold it by adding to the tanh argument via a constant
+    # column: simpler — bias is handled by appending it after the dot when
+    # nonzero. We bake it into w_head's unused region only if zero.
+    w_head_full = np.zeros((d_out_p, 128), np.float32)
+    w_head_full[: w_head.shape[0], 0] = w_head[:, 0]
+
+    return {
+        "w_in": pad2(w_in, d_in_p, H),
+        "b_in": b_in.astype(np.float32).reshape(1, H),
+        "wz": pad3(wz, d_code_p, H),
+        "bz": bz.astype(np.float32).reshape(n_blocks, 1, H),
+        "w0": w0.astype(np.float32),
+        "b0": b0.astype(np.float32).reshape(n_blocks, 1, H),
+        "w1": w1.astype(np.float32),
+        "b1": b1.astype(np.float32).reshape(n_blocks, 1, H),
+        "w_out": pad2(w_out, H, d_out_p),
+        "b_out": np.pad(b_out, (0, d_out_p - d_out)).astype(np.float32).reshape(1, d_out_p),
+        "w_head": w_head_full,
+        "b_head": float(b_head[0]),
+        "alpha": alpha,
+        "dims": (d_in, d_code, d_out, H, d_in_p, d_code_p, d_out_p),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("n_blocks", "tile", "interpret"))
+def fused_resnetfc_tsdf(
+    feat: jnp.ndarray,
+    code: jnp.ndarray,
+    weights: dict,
+    n_blocks: int,
+    tile: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Run the fused decoder.
+
+    Args:
+        feat: (N, d_in) encoder features (the MLP input x).
+        code: (N, d_code) positional encoding (the injected latent z).
+        weights: from `extract_resnetfc_weights`.
+
+    Returns:
+        (N,) TSDF values (tanh'd). Assumes head bias == 0 (its init; the
+        caller checks).
+    """
+    N, d_in = feat.shape
+    d_code = code.shape[1]
+    H = weights["w_in"].shape[1]
+    d_in_p = weights["w_in"].shape[0]
+    d_code_p = weights["wz"].shape[1]
+    d_out_p = weights["w_out"].shape[1]
+
+    pad_n = (-N) % tile
+    feat_p = jnp.pad(feat, ((0, pad_n), (0, d_in_p - d_in)))
+    code_p = jnp.pad(code, ((0, pad_n), (0, d_code_p - d_code)))
+    n_tiles = feat_p.shape[0] // tile
+
+    grid_spec = pl.GridSpec(
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile, d_in_p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d_code_p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_in_p, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blocks, d_code_p, H), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blocks, 1, H), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blocks, H, H), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blocks, 1, H), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blocks, H, H), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blocks, 1, H), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, d_out_p), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_out_p), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_out_p, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM),
+    )
+    flops_per_pt = 2 * (d_in_p * H + n_blocks * (d_code_p * H + 2 * H * H) + H * d_out_p + d_out_p * 128)
+    out = pl.pallas_call(
+        functools.partial(_kernel, n_blocks=n_blocks),
+        out_shape=jax.ShapeDtypeStruct((feat_p.shape[0],), jnp.float32),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_pt * feat_p.shape[0],
+            bytes_accessed=feat_p.size * 4 + code_p.size * 4 + feat_p.shape[0] * 4,
+            transcendentals=feat_p.shape[0],
+        ),
+        interpret=interpret,
+    )(
+        feat_p, code_p,
+        weights["w_in"], weights["b_in"], weights["wz"], weights["bz"],
+        weights["w0"], weights["b0"], weights["w1"], weights["b1"],
+        weights["w_out"], weights["b_out"], weights["w_head"], weights["alpha"],
+    )
+    return out[:N]
+
+
+def supports_fused_decode(cfg) -> bool:
+    """Whether the model config matches the kernel's supported decoder."""
+    m = cfg.mlp
+    return (
+        m.beta == 0.0
+        and not m.use_spade
+        and not m.use_layer_norm
+        and m.combine_layer >= m.n_blocks
+        and cfg.use_code
+    )

@@ -143,11 +143,36 @@ class Trainer:
                 out[f"{mode}_recon_tsdf_l1"] = l1
                 self.logger.local.log_tsdf(pred, f"{mode}_tsdf/{mode}_pred_tsdf")
                 self.logger.local.log_tsdf(trgt, f"{mode}_tsdf/{mode}_trgt_tsdf")
-                self.logger.local.log_mesh(pred.get_mesh(), f"{mode}_mesh/{mode}_pred_mesh")
-                self.logger.local.log_mesh(trgt.get_mesh(), f"{mode}_mesh/{mode}_trgt_mesh")
+                mesh_pred = pred.get_mesh()
+                mesh_trgt = trgt.get_mesh()
+                self.logger.local.log_mesh(mesh_pred, f"{mode}_mesh/{mode}_pred_mesh")
+                self.logger.local.log_mesh(mesh_trgt, f"{mode}_mesh/{mode}_trgt_mesh")
+                self._log_rendered_images(mesh_pred, mesh_trgt, last_batch, mode)
             except Exception as e:  # reconstruction is best-effort logging
                 self.log.warning(f"reconstruction logging failed: {e}")
         return out
+
+    def _log_rendered_images(self, mesh_pred, mesh_trgt, batch, mode: str,
+                             b_idx: int = 0, num_logged_frames: int = 2):
+        """Shaded target|prediction renders from the input views + an
+        auto-framed overview (reference log_rendered_images,
+        model.py:718-749), via the native rasterizer."""
+        from ..utils.visuals import compute_camera_pose, render_comparison
+
+        image = batch["image"]  # (B, T, 3, H, W)
+        H, W = image.shape[-2:]
+        intr = np.asarray(batch["intrinsics"][b_idx])
+        poses = np.asarray(batch["pose"][b_idx])
+        overview = compute_camera_pose(mesh_trgt, intr[0], W, H)
+        self.logger.local.log_image(
+            render_comparison(mesh_pred, mesh_trgt, intr[0], overview, H, W),
+            f"{mode}_render/overview",
+        )
+        for i in range(min(num_logged_frames, poses.shape[0])):
+            self.logger.local.log_image(
+                render_comparison(mesh_pred, mesh_trgt, intr[i], poses[i], H, W),
+                f"{mode}_render/frame{i}",
+            )
 
     def test(self, task, state: TrainState, datamodule, key=None) -> Dict[str, float]:
         key = key if key is not None else jax.random.PRNGKey(0)

@@ -62,9 +62,67 @@ def predict_tsdf_volume(
     voxel_size: float,
     origin,
     chunk_size: int = 262144,
+    use_fused: bool = True,
 ) -> jnp.ndarray:
     """Dense TSDF volume (nx, ny, nz) at the grid convention of the
     reference's predict_tsdf."""
     pts = dense_grid_points(voxel_dim, voxel_size, origin)
-    tsdf = decode_dense(model, variables, repr_, pts, jnp.asarray(origin, jnp.float32), chunk_size)
+    origin = jnp.asarray(origin, jnp.float32)
+    if use_fused:
+        try:
+            tsdf = decode_dense_fused(model, variables, repr_, pts, origin)
+            return tsdf.reshape(voxel_dim)
+        except NotImplementedError:
+            pass
+    tsdf = decode_dense(model, variables, repr_, pts, origin, chunk_size)
     return tsdf.reshape(voxel_dim)
+
+
+def decode_dense_fused(
+    model: GenNerf,
+    variables,
+    repr_: SceneRepr,
+    points: jnp.ndarray,
+    origin: jnp.ndarray,
+) -> jnp.ndarray:
+    """Fast dense decode: XLA feature gathers + positional encoding feeding
+    the fused Pallas ResnetFC/TSDF kernel (ops/pallas/fused_decoder.py).
+
+    Raises NotImplementedError when the model config is outside the kernel's
+    support; callers fall back to `decode_dense`.
+    """
+    import jax
+
+    from ..ops.pallas.fused_decoder import (
+        extract_resnetfc_weights,
+        fused_resnetfc_tsdf,
+        supports_fused_decode,
+    )
+
+    cfg = model.cfg
+    if not supports_fused_decode(cfg) or jax.devices()[0].platform != "tpu":
+        raise NotImplementedError("fused decode unsupported for this config/platform")
+
+    weights = extract_resnetfc_weights(
+        jax.tree.map(lambda x: x, variables["params"]["mlp"]),
+        variables["params"]["head_geo"],
+        cfg.mlp.n_blocks,
+        cfg.mlp.d_out_geo,
+    )
+    if abs(weights["b_head"]) > 0:
+        raise NotImplementedError("fused decode assumes zero head bias")
+
+    @partial(jax.jit, static_argnames=())
+    def features_and_code(repr_, pts):
+        feat = model.apply(
+            variables, repr_, pts[None], origin, method=GenNerf.map_features
+        )[0]
+        from ..models.positional_encoding import positional_encoding
+
+        code = positional_encoding(
+            pts, cfg.code.num_freqs, cfg.code.freq_factor, cfg.code.include_input
+        )
+        return feat, code
+
+    feat, code = features_and_code(repr_, points)
+    return fused_resnetfc_tsdf(feat, code, weights, cfg.mlp.n_blocks, tile=2048)

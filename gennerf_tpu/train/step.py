@@ -74,6 +74,8 @@ def sample_supervision_points(cfg: GenNerfConfig, batch: Dict[str, jnp.ndarray],
             out["grad_vec"] = -grad_vec  # flip (reference model.py:670)
         out["xyz"] = xyz.reshape(BT, -1, 3)
         out["z"] = z
+        out["h"], out["w"] = h, w
+        out["valid_pix"] = ok
         out["points_per_frame"] = R * (1 + cfg.ray.N + cfg.ray.M)
         return out
 
@@ -161,6 +163,26 @@ def gen_nerf_forward_loss(
     if cfg.loss.use_gradient:
         targets_bt["sampled_normals"] = sup["sampled_normals"]
         targets_bt["grad_vec"] = sup["grad_vec"]
+
+    # semantic distillation toward the 2D teacher at surface samples
+    if (
+        cfg.loss.use_distill
+        and model.teacher is not None
+        and cfg.sampling_mode == "ray"
+    ):
+        from ..models.teacher import sample_teacher_features
+
+        H, W = batch["image"].shape[-2:]
+        images_bt = batch["image"].reshape(BT, 3, H, W)
+        tmap = model.teacher(images_bt)  # (BT, C, H', W')
+        targets_bt["teacher_feat"] = sample_teacher_features(
+            tmap, sup["h"], sup["w"], (H, W)
+        )
+        targets_bt["teacher_mask"] = sup["valid_pix"][..., None].astype(jnp.float32)
+        S_ray = 1 + cfg.ray.N + cfg.ray.M
+        outputs_bt["feat_sem_surface"] = outputs["feat_sem"].reshape(
+            BT, cfg.ray.num_rays, S_ray, -1
+        )[:, :, 0]
 
     combined, losses = calculate_loss(
         cfg.loss, outputs_bt, targets_bt, num_rays=cfg.ray.num_rays

@@ -35,8 +35,15 @@ class GenNerfTask:
     name = "GenNerf"
 
     def __init__(self, model_cfg_dict: Dict[str, Any]):
+        from ..models.teacher import make_teacher
+
         self.cfg: GenNerfConfig = config_from_dict(GenNerfConfig, model_cfg_dict)
-        self.model = GenNerf(self.cfg)
+        teacher = make_teacher(self.cfg.teacher)
+        if self.cfg.encoder.use_auxiliary and teacher is not None:
+            assert self.cfg.encoder.auxiliary_dim == teacher.feature_dim, (
+                "encoder.auxiliary_dim must equal teacher.feature_dim"
+            )
+        self.model = GenNerf(self.cfg, teacher=teacher)
         self.tx = make_optimizer(self.cfg.optimizer)
         self.train_step = make_gen_nerf_train_step(self.model, self.cfg, self.tx)
         self.eval_step = make_gen_nerf_eval_step(self.model, self.cfg)
