@@ -176,18 +176,14 @@ def main():
     n_pts = pts.shape[0]
     chunk_size = 262144
 
-    # decode path: fused Pallas decoder kernel when supported, XLA otherwise
-    try:
-        def decode(p):
-            return decode_dense_fused(model, variables, repr_, p, jnp.zeros(3))
+    # decode path: the XLA-fused chunked program (the Pallas fused-MLP kernel
+    # in train/predict.decode_dense_fused is faster for the MLP alone but its
+    # separate feature-gather stage currently loses end-to-end; it stays
+    # opt-in until plane gathers move into VMEM)
+    def decode(p):
+        return decode_dense(model, variables, repr_, p, jnp.zeros(3), chunk_size)
 
-        decode(pts)
-        path = "pallas-fused"
-    except Exception:
-        def decode(p):
-            return decode_dense(model, variables, repr_, p, jnp.zeros(3), chunk_size)
-
-        path = "xla"
+    path = "xla"
 
     # compile + warmup; NOTE: on the tunneled TPU platform block_until_ready
     # returns before remote execution completes, so timings force a host

@@ -10,6 +10,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .common import he_normal, make_activation, zeros_init
@@ -87,6 +88,11 @@ class ResnetFC(nn.Module):
         combine_inner_dims: Sequence[int] = (1,),
         ret_last_feat: bool = False,
     ) -> jnp.ndarray:
+        # profiler cut point parity: reference resnetfc.py:141 "resnetfc_infer"
+        with jax.named_scope("resnetfc_infer"):
+            return self._forward(zx, combine_inner_dims, ret_last_feat)
+
+    def _forward(self, zx, combine_inner_dims, ret_last_feat):
         assert zx.shape[-1] == self.d_latent + self.d_in
         actvn = make_activation(self.beta)
 
@@ -126,7 +132,8 @@ class ResnetFC(nn.Module):
                 else:
                     x = x + alpha * tz
 
-            x = ResnetBlockFC(beta=self.beta, dtype=self.dtype, name=f"block_{blkid}")(x)
+            with jax.named_scope("resblock"):  # reference resnetfc.py:55
+                x = ResnetBlockFC(beta=self.beta, dtype=self.dtype, name=f"block_{blkid}")(x)
             if self.use_layer_norm:
                 x = nn.LayerNorm(name=f"ln_{blkid}")(x)
 

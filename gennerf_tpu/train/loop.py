@@ -33,6 +33,8 @@ class Trainer:
         num_sanity_val_steps: int = 2,
         deterministic: bool = False,
         gradient_clip_val: Optional[float] = None,
+        profile_dir: Optional[str] = None,
+        profile_steps: int = 5,
         output_dir: str = ".",
         logger: Optional[MetricsLogger] = None,
         ckpt: Optional[CheckpointManager] = None,
@@ -50,6 +52,8 @@ class Trainer:
         num_devices = None if devices in ("auto", None) else int(devices)
         self.mesh = make_mesh(num_devices)
         self.precision = precision
+        self.profile_dir = profile_dir
+        self.profile_steps = profile_steps
         self.metrics: Dict[str, float] = {}
 
     # -----------------------------------------------------------------
@@ -92,9 +96,20 @@ class Trainer:
             last_metrics = {}
             for batch in train_loader:
                 key, k = jax.random.split(key)
+                # optional profiler capture (reference §5.1: scoped
+                # record_function annotations; here a real trace window)
+                if self.profile_dir and global_step == 1:
+                    jax.profiler.start_trace(self.profile_dir)
                 state, metrics = task.run_train_step(
                     state, shard_batch(_arrays(batch), self.mesh), k
                 )
+                if self.profile_dir and global_step == 1 + self.profile_steps:
+                    jax.tree.map(
+                        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x,
+                        metrics,
+                    )
+                    jax.profiler.stop_trace()
+                    self.log.info(f"profiler trace written to {self.profile_dir}")
                 global_step += 1
                 if global_step % self.log_every_n_steps == 0:
                     last_metrics = {f"train_{k_}": float(v) for k_, v in metrics.items()}

@@ -62,7 +62,7 @@ def predict_tsdf_volume(
     voxel_size: float,
     origin,
     chunk_size: int = 262144,
-    use_fused: bool = True,
+    use_fused: bool = False,
 ) -> jnp.ndarray:
     """Dense TSDF volume (nx, ny, nz) at the grid convention of the
     reference's predict_tsdf."""
@@ -112,17 +112,34 @@ def decode_dense_fused(
     if abs(weights["b_head"]) > 0:
         raise NotImplementedError("fused decode assumes zero head bias")
 
-    @partial(jax.jit, static_argnames=())
-    def features_and_code(repr_, pts):
-        feat = model.apply(
-            variables, repr_, pts[None], origin, method=GenNerf.map_features
-        )[0]
-        from ..models.positional_encoding import positional_encoding
+    from ..models.positional_encoding import positional_encoding
 
-        code = positional_encoding(
-            pts, cfg.code.num_freqs, cfg.code.freq_factor, cfg.code.include_input
-        )
-        return feat, code
+    # two dispatches: (1) chunked XLA feature gathers + positional encoding
+    # over all points (chunking bounds the gather intermediates), (2) ONE
+    # full-size Pallas kernel launch over the whole point set. Embedding the
+    # pallas_call inside lax.map serializes catastrophically; a single big
+    # grid is ~100x faster.
+    chunk = 1 << 20
+
+    @jax.jit
+    def features_and_code(repr_, pts):
+        N = pts.shape[0]
+        pad = (-N) % chunk
+        pts_p = jnp.pad(pts, ((0, pad), (0, 0))).reshape(-1, chunk, 3)
+
+        def chunk_fn(p):
+            feat = model.apply(
+                variables, repr_, p[None], origin, method=GenNerf.map_features
+            )[0]
+            code = positional_encoding(
+                p, cfg.code.num_freqs, cfg.code.freq_factor, cfg.code.include_input
+            )
+            return feat, code
+
+        feat, code = jax.lax.map(chunk_fn, pts_p)
+        d_feat = feat.shape[-1]
+        d_code = code.shape[-1]
+        return feat.reshape(-1, d_feat)[:N], code.reshape(-1, d_code)[:N]
 
     feat, code = features_and_code(repr_, points)
     return fused_resnetfc_tsdf(feat, code, weights, cfg.mlp.n_blocks, tile=2048)

@@ -190,15 +190,23 @@ def compose(
                     group_choices[g] = n
     group_choices.update(cli_group_choices)
 
-    # compose groups (resolving within-group defaults inheritance)
+    # compose groups (resolving within-group defaults inheritance);
+    # 'debug' composes as a global overlay (reference @package _global_)
     cfg: Dict[str, Any] = {}
+    global_overlays = []
     for group, choice in group_choices.items():
         if choice is None:
             continue
-        cfg[group] = _load_group(config_dir, group, choice)
+        loaded = _load_group(config_dir, group, choice)
+        if group == "debug":
+            global_overlays.append(loaded)
+        else:
+            cfg[group] = loaded
 
     cfg = _deep_merge(cfg, root_yaml)
     cfg = _deep_merge(cfg, exp_cfg)
+    for overlay in global_overlays:
+        cfg = _deep_merge(cfg, overlay)
     for key, value in value_overrides:
         _set_dotted(cfg, key, value)
 

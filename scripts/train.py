@@ -31,9 +31,23 @@ def select_platform(trainer_cfg):
         jax.config.update("jax_platforms", "cpu")
 
 
+def print_config_tree(cfg: dict, indent: int = 0) -> None:
+    """Plain-text config tree at startup (reference rich_utils.print_config_tree)."""
+    for key, value in cfg.items():
+        if isinstance(value, dict):
+            print("  " * indent + f"{key}:")
+            print_config_tree(value, indent + 1)
+        else:
+            print("  " * indent + f"{key}: {value}")
+
+
 def train(cfg: dict):
     """Reference train() equivalent (src/train.py:45-127)."""
     select_platform(cfg.get("trainer", {}))
+    if cfg.get("print_config", True):
+        print("=" * 30 + " config " + "=" * 30)
+        print_config_tree(cfg)
+        print("=" * 68)
 
     import jax
 
