@@ -1,0 +1,174 @@
+"""Coverage for harness paths not exercised by the main e2e test:
+checkpoint resume, tar-archived datasets, streaming encode merge,
+spatial-encoder (BatchNorm) training, fusion label volumes."""
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gennerf_tpu.train.tasks import GenNerfTask
+
+
+def _tiny_cfg(**over):
+    cfg = {
+        "type": "GenNerf", "voxel_size": 0.08,
+        "voxel_dim_train": [16, 16, 8], "voxel_dim_val": [16, 16, 8],
+        "voxel_dim_test": [16, 16, 8],
+        "encoder": {"use_spatial": False, "use_pointnet": True,
+                    "pointnet": {"num_sparse_points": 32, "c_dim": 8,
+                                 "hidden_dim": 8, "plane_resolution": 16,
+                                 "n_blocks": 2, "unet": False}},
+        "mlp": {"d_out_sem": 1, "d_out_geo": 8, "n_blocks": 2, "d_hidden": 32},
+        "ray": {"num_rays": 8, "N": 4, "M": 2, "d_min": 0.07, "delta": 0.1, "sigma": 0.1},
+    }
+    cfg.update(over)
+    return cfg
+
+
+def _batch(rng, B=1, T=2, H=12, W=16):
+    batch = {
+        "projection": rng.standard_normal((B, T, 3, 4)).astype(np.float32),
+        "image": rng.standard_normal((B, T, 3, H, W)).astype(np.float32),
+        "depth": (rng.random((B, T, H, W)) + 0.5).astype(np.float32),
+        "pose": np.tile(np.eye(4, dtype=np.float32), (B, T, 1, 1)),
+        "intrinsics": np.tile((np.eye(3) * 10).astype(np.float32), (B, T, 1, 1)),
+        "vol_08_tsdf": rng.uniform(-1, 1, (B, 1, 16, 16, 8)).astype(np.float32),
+    }
+    batch["projection"][:, :, 2, 2] = 1.0
+    return batch
+
+
+class TestCheckpointResume:
+    def test_save_restore_roundtrip_and_continue(self, rng, tmp_path):
+        from gennerf_tpu.train.checkpoints import CheckpointManager
+
+        task = GenNerfTask(_tiny_cfg())
+        batch = _batch(rng)
+        state = task.init_state(jax.random.PRNGKey(0), batch)
+        state, _ = task.run_train_step(state, batch, jax.random.PRNGKey(1))
+
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        mgr.save(0, state, {"model": {"type": "GenNerf"}})
+        assert mgr.latest_epoch() == 0
+
+        template = task.init_state(jax.random.PRNGKey(9), batch)
+        restored = mgr.restore(template)
+        for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert int(restored.step) == int(state.step)
+        # training continues from the restored state
+        restored2, metrics = task.run_train_step(restored, batch, jax.random.PRNGKey(2))
+        assert np.isfinite(float(metrics["combined"]))
+        # config snapshot written
+        assert json.load(open(tmp_path / "ckpt" / "config.json"))["model"]["type"] == "GenNerf"
+
+
+class TestArchivedDataset:
+    def test_from_archive_roundtrip(self, tmp_path):
+        from gennerf_tpu.data.synthetic import generate_scene
+        from gennerf_tpu.data.datamodule import ScannetDataModule
+
+        info = generate_scene(str(tmp_path), num_frames=4, H=32, W=40,
+                              voxel_sizes=(16,), use_tar=True)
+        # remove loose files so only the tars can serve the data
+        scene_dir = os.path.dirname(info)
+        for sub in ("color", "depth"):
+            for fn in os.listdir(os.path.join(scene_dir, sub)):
+                if not fn.endswith(".tar"):
+                    os.remove(os.path.join(scene_dir, sub, fn))
+
+        cfg = {
+            "data_dir": str(tmp_path),
+            "datasets_train": ["scans/scene_synth0/info.json"],
+            "datasets_val": ["scans/scene_synth0/info.json"],
+            "datasets_test": ["scans/scene_synth0/info.json"],
+            "dataset_type": "frame", "frame_idx": 0,
+            "length_train": 1, "length_val": 1, "length_test": 1,
+            "batch_size": 1, "voxel_size": 0.16,
+            "voxel_dim_train": [16, 16, 8], "voxel_dim_val": [16, 16, 8],
+            "voxel_dim_test": [16, 16, 8],
+            "voxel_types": ["tsdf"], "from_archive": True,
+        }
+        dm = ScannetDataModule(cfg)
+        b = next(iter(dm.train_dataloader()))
+        assert b["image"].shape == (1, 1, 3, 480, 640)
+        assert (b["depth"] > 0).mean() > 0.2
+
+
+class TestStreamingEncode:
+    def test_merge_matches_reference_semantics(self, rng):
+        """encode(all frames) vs merge(encode(first), encode(second)) —
+        volumes add, planes weighted-average (reference model.py:121-150)."""
+        cfg_dict = _tiny_cfg()
+        cfg_dict["encoder"]["plane_merger"] = {"strategy": "average", "alpha": 0.25}
+        task = GenNerfTask(cfg_dict)
+        model, cfg = task.model, task.cfg
+        batch = _batch(rng, B=1, T=4)
+        state = task.init_state(jax.random.PRNGKey(0), batch)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        from gennerf_tpu.models.gen_nerf import GenNerf
+
+        key = jax.random.PRNGKey(3)
+
+        def enc(sl):
+            r, _ = model.apply(
+                variables,
+                jnp.asarray(batch["projection"][:, sl]),
+                jnp.asarray(batch["image"][:, sl]),
+                jnp.asarray(batch["depth"][:, sl]),
+                key, (16, 16, 8), jnp.zeros(3), train=False,
+                method=GenNerf.encode, mutable=["batch_stats"],
+            )
+            return r
+
+        r1 = enc(slice(0, 2))
+        r2 = enc(slice(2, 4))
+        merged = model.apply(variables, r2, r1, method=GenNerf.merge)
+        # average merge with alpha: new*alpha + old*(1-alpha)
+        expect = 0.25 * np.asarray(r2.planes["xz"]) + 0.75 * np.asarray(r1.planes["xz"])
+        np.testing.assert_allclose(np.asarray(merged.planes["xz"]), expect, rtol=1e-5)
+
+
+class TestSpatialEncoderTraining:
+    def test_batch_stats_update_and_step(self, rng):
+        cfg = _tiny_cfg()
+        cfg["encoder"] = {
+            "use_spatial": True,
+            "spatial": {"backbone": "resnet18", "num_layers": 2,
+                        "feature_scale": 1.0, "blur_image": False},
+            "use_pointnet": False,
+        }
+        task = GenNerfTask(cfg)
+        batch = _batch(rng, B=1, T=2, H=16, W=16)
+        state = task.init_state(jax.random.PRNGKey(0), batch)
+        stats0 = jax.tree.leaves(state.batch_stats)
+        assert stats0, "spatial encoder must carry BatchNorm stats"
+        state2, metrics = task.run_train_step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["combined"]))
+        # running statistics moved
+        moved = any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(stats0, jax.tree.leaves(state2.batch_stats))
+        )
+        assert moved
+
+
+class TestFusionLabels:
+    def test_label_volume_accumulates(self, rng):
+        from gennerf_tpu.tsdf import TSDFFusion
+
+        fus = TSDFFusion((8, 8, 8), 0.1, (-0.4, -0.4, -0.4), color=True, label=True)
+        K = np.array([[10.0, 0, 8], [0, 10.0, 6], [0, 0, 1]], np.float32)
+        proj = (K @ np.eye(4)[:3]).astype(np.float32)
+        proj[2, 2] = 1.0
+        depth = np.full((12, 16), 0.35, np.float32)
+        color = rng.random((3, 12, 16)).astype(np.float32) * 255
+        label = np.full((12, 16), 7, np.int32)
+        fus.integrate(jnp.asarray(proj), jnp.asarray(depth), jnp.asarray(color), jnp.asarray(label))
+        tsdf = fus.get_tsdf(label_name="semseg")
+        assert "color" in tsdf.attribute_vols and "semseg" in tsdf.attribute_vols
+        sem = np.asarray(tsdf.attribute_vols["semseg"])
+        assert (sem == 7).any() and (sem == -1).any()
