@@ -132,6 +132,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir", os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache"))
+
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from __graft_entry__ import _flagship_cfg
     from gennerf_tpu.data.synthetic import render_scene, look_at_pose
@@ -174,7 +176,7 @@ def main():
 
     pts = dense_grid_points(VOXEL_DIM, cfg.voxel_size, np.zeros(3))
     n_pts = pts.shape[0]
-    chunk_size = 262144
+    chunk_size = 32768  # v5e sweep optimum (BENCH.md)
 
     # decode path: the XLA-fused chunked program (the Pallas fused-MLP kernel
     # in train/predict.decode_dense_fused is faster for the MLP alone but its

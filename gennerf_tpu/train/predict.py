@@ -35,16 +35,29 @@ def decode_dense(
     repr_: SceneRepr,
     points: jnp.ndarray,
     origin: jnp.ndarray,
-    chunk_size: int = 262144,
+    chunk_size: int = 32768,
 ):
     """Decode TSDF at (N, 3) points in chunks on-device.
 
     N is padded to a chunk multiple; returns (N,) TSDF values.
+
+    Defaults from the v5e sweep (BENCH.md): 32k-point chunks keep the
+    per-chunk activations cache-resident (22.8M pts/s vs 14.5M at 256k),
+    and the scene representation is sampled in the model's compute dtype
+    (bf16 halves gather traffic; features feed a bf16 MLP anyway).
     """
     N = points.shape[0]
     pad = (-N) % chunk_size
     pts = jnp.pad(points, ((0, pad), (0, 0)))
     chunks = pts.reshape(-1, chunk_size, 3)
+
+    if model.dtype != jnp.float32:
+        repr_ = SceneRepr(
+            volume=None if repr_.volume is None else repr_.volume.astype(model.dtype),
+            valid=repr_.valid,
+            planes=None if repr_.planes is None else
+            {k: v.astype(model.dtype) for k, v in repr_.planes.items()},
+        )
 
     def decode_chunk(chunk):
         out = model.apply(variables, repr_, chunk[None], origin, method=GenNerf.decode)

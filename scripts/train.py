@@ -17,10 +17,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def select_platform(trainer_cfg):
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache"),
+    )
     accel = trainer_cfg.get("accelerator", "auto")
     if accel == "cpu":
-        import jax
-
         devices = trainer_cfg.get("devices")
         if isinstance(devices, int) and devices > 1:
             flags = os.environ.get("XLA_FLAGS", "")
