@@ -190,6 +190,13 @@ class GenNerf(nn.Module):
             xyz = xyz_map.reshape(B * T, -1, 3)
             # invalid (depth==0) points unproject to the camera center —
             # harmless for FPS sparsification as in the reference
+            presample = enc.pointnet.fps_presample
+            if presample and xyz.shape[1] > presample:
+                key, k_pre = jax.random.split(key)
+                sel = jax.random.choice(
+                    k_pre, xyz.shape[1], (presample,), replace=False
+                )
+                xyz = xyz[:, sel]
             sparse, _ = farthest_point_sample(key, xyz, npoint)  # (B*T, npoint, 3)
             accum = sparse.reshape(B, T, npoint, 3).reshape(B, T * npoint, 3)
             planes = self.pointnet(accum)

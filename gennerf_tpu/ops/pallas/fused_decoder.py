@@ -17,7 +17,6 @@ Callers fall back to the XLA path otherwise.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -90,11 +89,8 @@ def extract_resnetfc_weights(mlp_params: dict, head_params: dict, n_blocks: int,
     def pad3(a, r, c):
         return np.pad(a, ((0, 0), (0, r - a.shape[1]), (0, c - a.shape[2]))).astype(np.float32)
 
-    # head folded over the padded d_out axis: rows beyond d_geo are zero, and
-    # the head bias rides an extra all-ones input column... TSDFHeadSimple has
-    # bias zeros-init; fold it by adding to the tanh argument via a constant
-    # column: simpler — bias is handled by appending it after the dot when
-    # nonzero. We bake it into w_head's unused region only if zero.
+    # head weight padded over d_out (rows beyond d_geo are zero so the
+    # full-width dot is exact); head bias must be zero (callers check b_head)
     w_head_full = np.zeros((d_out_p, 128), np.float32)
     w_head_full[: w_head.shape[0], 0] = w_head[:, 0]
 

@@ -52,9 +52,6 @@ def lr_for_epoch(opt_cfg: OptimizerConfig, sched_cfg: SchedulerConfig, epoch: in
 
 def set_learning_rate(opt_state, lr):
     """Write the injected lr hyperparameter into the optimizer state."""
-    def update(node):
-        return node
-
     # the inject_hyperparams state is the last element of the chain state
     inner = opt_state[-1]
     inner = inner._replace(hyperparams={**inner.hyperparams, "learning_rate": jnp.asarray(lr)})

@@ -73,13 +73,11 @@ class Mesh:
                     f.write(struct.pack("<3f3B", *v, *c))
             else:
                 f.write(verts.tobytes())
-            counts = np.full((F, 1), 3, np.uint8)
             faces = self.faces.astype("<i4")
             body = b"".join(
                 struct.pack("<B3i", 3, *face) for face in faces
             ) if F else b""
             f.write(body)
-            del counts
 
     @classmethod
     def load(cls, path: str) -> "Mesh":
