@@ -147,8 +147,9 @@ def main():
     # values live in [-1,1] and tolerate bf16 activations
     model = GenNerf(cfg, dtype=jnp.bfloat16)
 
-    # synthetic 8-frame scene at the reference input resolution
-    H, W = 480, 640
+    # synthetic 8-frame scene (reduced resolution: encode is setup here, not
+    # the measured quantity — the decode throughput is resolution-independent)
+    H, W = 240, 320
     K = np.array([[0.6 * W, 0, W / 2], [0, 0.6 * W, H / 2], [0, 0, 1]], np.float32)
     projs, depths, images = [], [], []
     for i in range(8):
