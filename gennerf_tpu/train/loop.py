@@ -35,6 +35,9 @@ class Trainer:
         gradient_clip_val: Optional[float] = None,
         profile_dir: Optional[str] = None,
         profile_steps: int = 5,
+        early_stopping_monitor: Optional[str] = None,
+        early_stopping_patience: int = 3,
+        early_stopping_mode: str = "min",
         output_dir: str = ".",
         logger: Optional[MetricsLogger] = None,
         ckpt: Optional[CheckpointManager] = None,
@@ -54,6 +57,9 @@ class Trainer:
         self.precision = precision
         self.profile_dir = profile_dir
         self.profile_steps = profile_steps
+        self.early_stopping_monitor = early_stopping_monitor
+        self.early_stopping_patience = early_stopping_patience
+        self.early_stopping_mode = early_stopping_mode
         self.metrics: Dict[str, float] = {}
 
     # -----------------------------------------------------------------
@@ -88,6 +94,8 @@ class Trainer:
                 task.run_eval_step(state, shard_batch(_arrays(batch), self.mesh), k)
 
         global_step = int(state.step)
+        best_monitor = None
+        stale_epochs = 0
         for epoch in range(start_epoch, self.max_epochs):
             lr = lr_for_epoch(task.cfg.optimizer, task.cfg.scheduler, epoch)
             state = state.replace(opt_state=set_learning_rate(state.opt_state, lr))
@@ -130,6 +138,26 @@ class Trainer:
                                             reconstruct=True)
                 self.metrics.update(val_metrics)
                 self.logger.log_metrics(val_metrics, global_step)
+
+                # early stopping (reference callbacks/early_stopping.yaml;
+                # disabled unless a monitor is configured)
+                mon = self.early_stopping_monitor
+                if mon and mon in val_metrics and epoch + 1 >= self.min_epochs:
+                    value = val_metrics[mon]
+                    sign = 1.0 if self.early_stopping_mode == "min" else -1.0
+                    if best_monitor is None or sign * value < sign * best_monitor:
+                        best_monitor = value
+                        stale_epochs = 0
+                    else:
+                        stale_epochs += 1
+                        if stale_epochs >= self.early_stopping_patience:
+                            self.log.info(
+                                f"early stopping: {mon} stale for "
+                                f"{stale_epochs} validations (best {best_monitor:.5f})"
+                            )
+                            if self.ckpt is not None:
+                                self.ckpt.save(epoch, state, config_snapshot)
+                            return state
 
             if self.ckpt is not None:
                 self.ckpt.save(epoch, state, config_snapshot)

@@ -85,8 +85,13 @@ def train(cfg: dict):
         ckpt_cfg.get("dirpath", os.path.join(output_dir, "checkpoints")),
         save_top_k=ckpt_cfg.get("save_top_k", -1),
     )
+    es = cfg.get("callbacks", {}).get("early_stopping") or {}
     trainer = Trainer(
-        output_dir=output_dir, logger=logger, ckpt=ckpt, **trainer_cfg
+        output_dir=output_dir, logger=logger, ckpt=ckpt,
+        early_stopping_monitor=es.get("monitor"),
+        early_stopping_patience=es.get("patience", 3),
+        early_stopping_mode=es.get("mode", "min"),
+        **trainer_cfg,
     )
 
     state = None
