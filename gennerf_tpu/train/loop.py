@@ -59,6 +59,8 @@ class Trainer:
         self.profile_steps = profile_steps
         self.early_stopping_monitor = early_stopping_monitor
         self.early_stopping_patience = early_stopping_patience
+        if early_stopping_mode not in ("min", "max"):
+            raise ValueError(f"early_stopping_mode must be 'min' or 'max', got {early_stopping_mode!r}")
         self.early_stopping_mode = early_stopping_mode
         self.metrics: Dict[str, float] = {}
 
@@ -96,6 +98,7 @@ class Trainer:
         global_step = int(state.step)
         best_monitor = None
         stale_epochs = 0
+        stop = False
         for epoch in range(start_epoch, self.max_epochs):
             lr = lr_for_epoch(task.cfg.optimizer, task.cfg.scheduler, epoch)
             state = state.replace(opt_state=set_learning_rate(state.opt_state, lr))
@@ -142,6 +145,11 @@ class Trainer:
                 # early stopping (reference callbacks/early_stopping.yaml;
                 # disabled unless a monitor is configured)
                 mon = self.early_stopping_monitor
+                if mon and mon not in val_metrics:
+                    self.log.warning(
+                        f"early-stopping monitor {mon!r} not in validation "
+                        f"metrics {sorted(val_metrics)} — callback inert this epoch"
+                    )
                 if mon and mon in val_metrics and epoch + 1 >= self.min_epochs:
                     value = val_metrics[mon]
                     sign = 1.0 if self.early_stopping_mode == "min" else -1.0
@@ -155,12 +163,12 @@ class Trainer:
                                 f"early stopping: {mon} stale for "
                                 f"{stale_epochs} validations (best {best_monitor:.5f})"
                             )
-                            if self.ckpt is not None:
-                                self.ckpt.save(epoch, state, config_snapshot)
-                            return state
+                            stop = True
 
             if self.ckpt is not None:
                 self.ckpt.save(epoch, state, config_snapshot)
+            if stop:
+                break
 
         return state
 

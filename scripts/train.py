@@ -86,12 +86,17 @@ def train(cfg: dict):
         save_top_k=ckpt_cfg.get("save_top_k", -1),
     )
     es = cfg.get("callbacks", {}).get("early_stopping") or {}
+    # trainer_cfg takes precedence over the callbacks group if both specify
+    # early-stopping keys (avoids a duplicate-kwarg crash on CLI overrides)
+    es_kwargs = {
+        "early_stopping_monitor": es.get("monitor"),
+        "early_stopping_patience": es.get("patience", 3),
+        "early_stopping_mode": es.get("mode", "min"),
+    }
+    es_kwargs.update({k: v for k, v in trainer_cfg.items() if k in es_kwargs})
+    trainer_cfg = {k: v for k, v in trainer_cfg.items() if k not in es_kwargs}
     trainer = Trainer(
-        output_dir=output_dir, logger=logger, ckpt=ckpt,
-        early_stopping_monitor=es.get("monitor"),
-        early_stopping_patience=es.get("patience", 3),
-        early_stopping_mode=es.get("mode", "min"),
-        **trainer_cfg,
+        output_dir=output_dir, logger=logger, ckpt=ckpt, **es_kwargs, **trainer_cfg,
     )
 
     state = None
