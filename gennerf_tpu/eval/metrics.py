@@ -33,20 +33,25 @@ def _nn_distances(queries: np.ndarray, targets: np.ndarray) -> np.ndarray:
         return cKDTree(targets).query(queries)[0]
 
 
-def _sample_surface(mesh, num: Optional[int]) -> np.ndarray:
-    """Vertex sampling of a mesh (the reference uses o3d voxel downsampling
-    of vertices at 2cm; vertex sets at 4cm voxels are already ~surface-dense,
-    so uniform subsampling is an equivalent density control)."""
+def _sample_surface(mesh, voxel: float = 0.02) -> np.ndarray:
+    """Voxel-hash downsample of mesh vertices at `voxel` meters — one point
+    (the centroid) per occupied voxel, matching the reference's Open3D
+    `voxel_down_sample(0.02)` (metrics.py:137-144). Unlike uniform vertex
+    subsampling, this is unbiased on non-uniformly tessellated meshes."""
     verts = np.asarray(mesh.vertices, np.float32)
-    if num is not None and len(verts) > num:
-        idx = np.random.default_rng(0).choice(len(verts), num, replace=False)
-        verts = verts[idx]
-    return verts
+    if len(verts) == 0:
+        return verts
+    cells = np.floor(verts / voxel).astype(np.int64)
+    _, inv, counts = np.unique(cells, axis=0, return_inverse=True, return_counts=True)
+    sums = np.zeros((len(counts), 3), np.float64)
+    np.add.at(sums, inv, verts)
+    return (sums / counts[:, None]).astype(np.float32)
 
 
-def eval_mesh(mesh_pred, mesh_trgt, threshold: float = 0.05, down_sample: int = 200000) -> Dict[str, float]:
+def eval_mesh(mesh_pred, mesh_trgt, threshold: float = 0.05, down_sample: float = 0.02) -> Dict[str, float]:
     """Mesh precision/recall/F-score at `threshold` meters
-    (reference metrics.py:81-146).
+    (reference metrics.py:81-146); vertices voxel-downsampled at
+    `down_sample` meters first (reference uses 2 cm).
 
     prec  = fraction of predicted points within threshold of target,
     recal = fraction of target points within threshold of prediction,

@@ -192,11 +192,16 @@ class GenNerf(nn.Module):
             # harmless for FPS sparsification as in the reference
             presample = enc.pointnet.fps_presample
             if presample and xyz.shape[1] > presample:
+                # independent uniform presample PER FRAME (a shared subset
+                # would correlate the FPS input across all B*T frames).
+                # Sampling with replacement: collisions are vanishingly rare
+                # at presample << H*W and harmless to FPS (duplicates have
+                # distance 0 and are never re-picked).
                 key, k_pre = jax.random.split(key)
-                sel = jax.random.choice(
-                    k_pre, xyz.shape[1], (presample,), replace=False
+                sel = jax.random.randint(
+                    k_pre, (xyz.shape[0], presample), 0, xyz.shape[1]
                 )
-                xyz = xyz[:, sel]
+                xyz = jnp.take_along_axis(xyz, sel[..., None], axis=1)
             sparse, _ = farthest_point_sample(key, xyz, npoint)  # (B*T, npoint, 3)
             accum = sparse.reshape(B, T, npoint, 3).reshape(B, T * npoint, 3)
             planes = self.pointnet(accum)

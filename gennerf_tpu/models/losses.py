@@ -110,42 +110,64 @@ def loss_distill(cfg: LossConfig, outputs, targets) -> jnp.ndarray:
     return loss
 
 
+def _masked_mean(m: jnp.ndarray, valid) -> jnp.ndarray:
+    """Mean over valid samples only. `valid` is (B, N, 1) in {0,1} or None."""
+    if valid is None:
+        return m.mean()
+    # per-element losses are (B, N, 1); broadcast the mask over trailing dims
+    w = jnp.broadcast_to(valid, m.shape)
+    return (m * w).sum() / jnp.maximum(w.sum(), 1.0)
+
+
 def calculate_loss(
     cfg: LossConfig, outputs, targets, num_rays: int = 0
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Weighted sum of enabled terms (reference model.py:432-470).
 
+    If targets['valid'] is present ((B, N, 1) float mask), all point-wise
+    terms are averaged over valid samples only, so the loss is invariant to
+    backfilled samples from frames with too few valid depth pixels (the
+    reference raised in that case, utils.py:356-363; here the fixed-shape
+    sampler backfills and we mask instead).
+
     Returns:
         (scalar combined loss, dict of per-term scalar means incl 'combined').
     """
     assert cfg.use_tsdf or cfg.use_isdf
+    valid = targets.get("valid")
     losses: Dict[str, jnp.ndarray] = {}
     loss_mat = 0.0
+    loss_scalar = 0.0
     if cfg.use_tsdf:
         m = loss_tsdf(cfg, outputs, targets)
-        losses["tsdf"] = m.mean()
+        losses["tsdf"] = _masked_mean(m, valid)
         loss_mat = loss_mat + cfg.tsdf.weight * m
     if cfg.use_isdf:
         m = loss_isdf(cfg, outputs, targets)
-        losses["isdf"] = m.mean()
+        losses["isdf"] = _masked_mean(m, valid)
         loss_mat = loss_mat + cfg.isdf.weight * m
     if cfg.use_eikonal:
         m = loss_eikonal(cfg, outputs, targets)
-        losses["eikonal"] = m.mean()
+        losses["eikonal"] = _masked_mean(m, valid)
         loss_mat = loss_mat + cfg.eikonal.weight * m
     if cfg.use_gradient:
         m = loss_gradient(cfg, outputs, targets, num_rays)
-        losses["gradient"] = m.mean()
+        losses["gradient"] = _masked_mean(m, valid)
         loss_mat = loss_mat + cfg.gradient.weight * m
     if cfg.use_feature:
         m = loss_feat(cfg, outputs, targets)
         losses["feature"] = m.mean()
-        loss_mat = loss_mat + cfg.feature.weight * m
+        loss_scalar = loss_scalar + cfg.feature.weight * m
     if cfg.use_distill and "teacher_feat" in targets:
         m = loss_distill(cfg, outputs, targets)
-        losses["distill"] = m.mean()
+        # already zero-masked by teacher_mask; normalize by the valid count
+        tm = targets.get("teacher_mask")
+        d = m.sum() / jnp.maximum(jnp.broadcast_to(tm, m.shape).sum(), 1.0) if tm is not None else m.mean()
+        losses["distill"] = d
         # separate sample set from the main loss matrix -> add its mean
-        loss_mat = loss_mat + cfg.distill.weight * m.mean()
-    combined = loss_mat.mean() if hasattr(loss_mat, "mean") else loss_mat
+        loss_scalar = loss_scalar + cfg.distill.weight * d
+    combined = (
+        _masked_mean(loss_mat, valid) if hasattr(loss_mat, "mean") else loss_mat
+    ) + loss_scalar
     losses["combined"] = combined
     return combined, losses

@@ -10,9 +10,9 @@ Conventions follow torch.nn.functional.grid_sample(padding_mode='border',
 align_corners=True): normalized coords in [-1, 1], coordinate k of the grid
 indexes the (last-k) spatial axis of the input.
 
-A Pallas fused gather kernel for the TPU hot path lives in
-ops/pallas/gather.py; these XLA versions are the reference implementation
-and the CPU/test fallback.
+The TPU hot path fuses these gathers with the decoder MLP in
+ops/pallas/fused_decoder.py; these XLA versions are the reference
+implementation and the CPU/test fallback.
 """
 from __future__ import annotations
 

@@ -29,9 +29,10 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _kernel(feat_ref, code_ref, w_in_ref, b_in_ref, wz_ref, bz_ref,
-            w0_ref, b0_ref, w1_ref, b1_ref, w_out_ref, b_out_ref,
-            w_head_ref, alpha_ref, out_ref, *, n_blocks: int):
+def _mlp_tail(feat, code, w_in_ref, b_in_ref, wz_ref, bz_ref,
+              w0_ref, b0_ref, w1_ref, b1_ref, w_out_ref, b_out_ref,
+              w_head_ref, alpha, *, n_blocks: int):
+    """Whole ResnetFC + tanh head on a (TILE, d) block, VMEM-resident."""
     dtype = jnp.bfloat16
     f32 = jnp.float32
 
@@ -39,9 +40,7 @@ def _kernel(feat_ref, code_ref, w_in_ref, b_in_ref, wz_ref, bz_ref,
         return jax.lax.dot(a.astype(dtype), w.astype(dtype),
                            preferred_element_type=f32)
 
-    alpha = alpha_ref[0, 0]
-    x = dot(feat_ref[:], w_in_ref[:]) + b_in_ref[:]
-    code = code_ref[:]
+    x = dot(feat, w_in_ref[:]) + b_in_ref[:]
     for i in range(n_blocks):
         tz = dot(code, wz_ref[i]) + bz_ref[i]
         x = x + alpha * tz
@@ -51,8 +50,17 @@ def _kernel(feat_ref, code_ref, w_in_ref, b_in_ref, wz_ref, bz_ref,
     out = dot(jnp.maximum(x, 0.0), w_out_ref[:]) + b_out_ref[:]
     # head consumes feat_geo = out[:, :d_geo]; w_head is padded to full width
     # with zeros beyond d_geo, so the full-width dot is exact
-    tsdf = jnp.tanh(dot(out, w_head_ref[:]))
-    out_ref[:] = tsdf[:, 0]
+    return jnp.tanh(dot(out, w_head_ref[:]))[:, 0]
+
+
+def _kernel(feat_ref, code_ref, w_in_ref, b_in_ref, wz_ref, bz_ref,
+            w0_ref, b0_ref, w1_ref, b1_ref, w_out_ref, b_out_ref,
+            w_head_ref, alpha_ref, out_ref, *, n_blocks: int):
+    out_ref[:] = _mlp_tail(
+        feat_ref[:], code_ref[:], w_in_ref, b_in_ref, wz_ref, bz_ref,
+        w0_ref, b0_ref, w1_ref, b1_ref, w_out_ref, b_out_ref,
+        w_head_ref, alpha_ref[0, 0], n_blocks=n_blocks,
+    )
 
 
 def extract_resnetfc_weights(mlp_params: dict, head_params: dict, n_blocks: int,

@@ -4,8 +4,8 @@ The reference leans on torch_scatter's CUDA kernels
 (src/models/components/pointnet.py:6,65-67,82,97,113-115) for
 point -> plane-cell pooling. On TPU these become batched segment reductions
 with a *static* segment count (reso² cells), which XLA lowers to efficient
-sorted scatters; a Pallas variant for very large point counts lives in
-ops/pallas/segment.py.
+sorted scatters — fast enough that no hand-written kernel is warranted at
+the model's point counts (B·T·512 points into 128² cells).
 
 Conventions match torch_scatter where observable by the models:
   * `scatter_mean` with a zero-initialized output -> empty cells are 0.

@@ -105,6 +105,7 @@ class Trainer:
 
             t_epoch = time.time()
             last_metrics = {}
+            metrics = None
             for batch in train_loader:
                 key, k = jax.random.split(key)
                 # optional profiler capture (reference §5.1: scoped
@@ -126,6 +127,11 @@ class Trainer:
                     last_metrics = {f"train_{k_}": float(v) for k_, v in metrics.items()}
                     self.logger.log_metrics({**last_metrics, "lr": lr, "epoch": epoch}, global_step)
             dt = time.time() - t_epoch
+            if metrics is None:
+                raise RuntimeError(
+                    "train dataloader produced no batches (epoch "
+                    f"{epoch}); check the dataset split / batch size"
+                )
             if not last_metrics:
                 last_metrics = {f"train_{k_}": float(v) for k_, v in metrics.items()}
                 self.logger.log_metrics({**last_metrics, "lr": lr, "epoch": epoch}, global_step)
@@ -190,15 +196,16 @@ class Trainer:
         if reconstruct and last_batch is not None:
             try:
                 pred, trgt = task.reconstruct(state, last_batch, b_idx=0)
-                l1 = float(np.abs(np.asarray(pred.tsdf_vol) - np.asarray(trgt.tsdf_vol)).mean())
-                out[f"{mode}_recon_tsdf_l1"] = l1
                 self.logger.local.log_tsdf(pred, f"{mode}_tsdf/{mode}_pred_tsdf")
-                self.logger.local.log_tsdf(trgt, f"{mode}_tsdf/{mode}_trgt_tsdf")
                 mesh_pred = pred.get_mesh()
-                mesh_trgt = trgt.get_mesh()
                 self.logger.local.log_mesh(mesh_pred, f"{mode}_mesh/{mode}_pred_mesh")
-                self.logger.local.log_mesh(mesh_trgt, f"{mode}_mesh/{mode}_trgt_mesh")
-                self._log_rendered_images(mesh_pred, mesh_trgt, last_batch, mode)
+                if trgt is not None:  # GT-less scenes log prediction only
+                    l1 = float(np.abs(np.asarray(pred.tsdf_vol) - np.asarray(trgt.tsdf_vol)).mean())
+                    out[f"{mode}_recon_tsdf_l1"] = l1
+                    self.logger.local.log_tsdf(trgt, f"{mode}_tsdf/{mode}_trgt_tsdf")
+                    mesh_trgt = trgt.get_mesh()
+                    self.logger.local.log_mesh(mesh_trgt, f"{mode}_mesh/{mode}_trgt_mesh")
+                    self._log_rendered_images(mesh_pred, mesh_trgt, last_batch, mode)
             except Exception as e:  # reconstruction is best-effort logging
                 self.log.warning(f"reconstruction logging failed: {e}")
         return out

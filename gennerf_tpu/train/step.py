@@ -76,6 +76,12 @@ def sample_supervision_points(cfg: GenNerfConfig, batch: Dict[str, jnp.ndarray],
         out["z"] = z
         out["h"], out["w"] = h, w
         out["valid_pix"] = ok
+        # every sample on a ray inherits its pixel's validity; backfilled
+        # (invalid-depth) rays are masked out of all point-wise loss terms
+        S_ray = 1 + cfg.ray.N + cfg.ray.M
+        out["valid"] = jnp.broadcast_to(
+            ok[:, :, None], (BT, R, S_ray)
+        ).reshape(BT, R * S_ray, 1).astype(jnp.float32)
         out["points_per_frame"] = R * (1 + cfg.ray.N + cfg.ray.M)
         return out
 
@@ -97,6 +103,14 @@ def sample_supervision_points(cfg: GenNerfConfig, batch: Dict[str, jnp.ndarray],
         near_xyz = near_xyz + f.sigma * jax.random.normal(k_noise, near_xyz.shape, near_xyz.dtype)
         xyz = jnp.concatenate([surf_xyz, near_xyz, free_xyz], axis=1)  # (BT, N, 3)
         out["xyz"] = xyz
+        # surf/near samples read the surface map -> garbage at invalid-depth
+        # pixels; free-space frustum samples need no depth and stay valid
+        ok_surf = ok[:, f.N_free + f.N_near :]
+        ok_near = ok[:, f.N_free : f.N_free + f.N_near]
+        ok_free = jnp.ones_like(ok[:, : f.N_free])
+        out["valid"] = jnp.concatenate(
+            [ok_surf, ok_near, ok_free], axis=1
+        )[..., None].astype(jnp.float32)
         out["points_per_frame"] = N
         return out
 
@@ -160,6 +174,8 @@ def gen_nerf_forward_loss(
     if "grad" in outputs:
         outputs_bt["grad"] = outputs["grad"].reshape(BT, S, 3)
     targets_bt = {"tsdf": targets["tsdf"].reshape(BT, S, 1)}
+    if "valid" in sup:
+        targets_bt["valid"] = sup["valid"]
     if cfg.loss.use_gradient:
         targets_bt["sampled_normals"] = sup["sampled_normals"]
         targets_bt["grad_vec"] = sup["grad_vec"]

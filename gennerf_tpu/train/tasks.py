@@ -78,9 +78,14 @@ class GenNerfTask:
         origin = jnp.zeros(3, jnp.float32)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
 
+        # GT-less scenes (ScenesDataset without fused volumes) size the decode
+        # volume from config instead (reference voxel_dim_test,
+        # voxel_net.py:354-384); trgt is then None
         key = "vol_%02d_tsdf" % self.voxel_sizes[0]
-        trgt = np.asarray(b[key])[b_idx, 0]  # (nx, ny, nz)
-        voxel_dim = tuple(voxel_dim or trgt.shape)
+        trgt = np.asarray(b[key])[b_idx, 0] if key in b else None
+        voxel_dim = tuple(
+            voxel_dim or (trgt.shape if trgt is not None else cfg.voxel_dim_test)
+        )
 
         repr_, _ = self.model.apply(
             variables,
@@ -96,7 +101,7 @@ class GenNerfTask:
         origin_arr = jnp.zeros((1, 3))
         return (
             TSDF(cfg.voxel_size, origin_arr, vol),
-            TSDF(cfg.voxel_size, origin_arr, jnp.asarray(trgt)),
+            TSDF(cfg.voxel_size, origin_arr, jnp.asarray(trgt)) if trgt is not None else None,
         )
 
 
@@ -116,10 +121,12 @@ class VoxelNetTask:
 
     def init_state(self, key: jax.Array, batch: Dict[str, Any]) -> TrainState:
         b = _array_batch(batch)
+        # GT-less batches (predict on scans_test) initialize without targets
         targets = {
             ("vol_%02d_tsdf" % vs): jnp.asarray(b["vol_%02d_tsdf" % vs])
             for vs in self.voxel_sizes
-        }
+            if ("vol_%02d_tsdf" % vs) in b
+        } or None
         variables = self.model.init(
             key,
             jnp.asarray(b["projection"]), jnp.asarray(b["image"]), jnp.asarray(b["depth"]),
@@ -135,7 +142,11 @@ class VoxelNetTask:
 
     def forward_volumes(self, state: TrainState, batch, voxel_dim=None):
         b = _array_batch(batch)
-        voxel_dim = tuple(voxel_dim or b["vol_%02d_tsdf" % self.voxel_sizes[0]].shape[-3:])
+        gt_key = "vol_%02d_tsdf" % self.voxel_sizes[0]
+        voxel_dim = tuple(
+            voxel_dim
+            or (b[gt_key].shape[-3:] if gt_key in b else self.cfg.voxel_dim_test)
+        )
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         outputs, _ = self.model.apply(
             variables,
@@ -148,10 +159,14 @@ class VoxelNetTask:
         outputs = self.forward_volumes(state, batch, voxel_dim)
         key = "vol_%02d_tsdf" % self.voxel_sizes[0]
         pred = outputs[key][b_idx, 0]
-        trgt = jnp.asarray(_array_batch(batch)[key][b_idx, 0])
+        b = _array_batch(batch)
+        trgt = jnp.asarray(b[key][b_idx, 0]) if key in b else None
         origin_arr = jnp.zeros((1, 3))
         vs = self.cfg.voxel_size
-        return TSDF(vs, origin_arr, pred), TSDF(vs, origin_arr, trgt)
+        return (
+            TSDF(vs, origin_arr, pred),
+            TSDF(vs, origin_arr, trgt) if trgt is not None else None,
+        )
 
 
 def make_task(model_cfg_dict: Dict[str, Any]):

@@ -1,0 +1,224 @@
+"""Round-2 correctness fixes:
+
+* sparse-depth supervision: backfilled (invalid-depth) samples are masked out
+  of every point-wise loss term (the reference raised instead,
+  utils.py:356-363) — loss must be invariant to the number of invalid pixels;
+* per-frame de-correlated FPS presampling;
+* GT-less predict (ScenesDataset scans_test path sizes the decode volume
+  from config, reference voxel_net.py:354-384);
+* voxel-hash mesh downsampling for P/R/F metrics (reference
+  metrics.py:137-144 uses o3d voxel_down_sample(0.02)).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gennerf_tpu.models.config import GenNerfConfig, config_from_dict
+from gennerf_tpu.models.losses import calculate_loss
+from gennerf_tpu.train.step import sample_supervision_points
+from gennerf_tpu.train.tasks import GenNerfTask, VoxelNetTask
+
+
+def _tiny_cfg(**over):
+    cfg = {
+        "type": "GenNerf", "voxel_size": 0.08,
+        "voxel_dim_train": [16, 16, 8], "voxel_dim_val": [16, 16, 8],
+        "voxel_dim_test": [16, 16, 8],
+        "encoder": {"use_spatial": False, "use_pointnet": True,
+                    "pointnet": {"num_sparse_points": 32, "c_dim": 8,
+                                 "hidden_dim": 8, "plane_resolution": 16,
+                                 "n_blocks": 2, "unet": False}},
+        "mlp": {"d_out_sem": 1, "d_out_geo": 8, "n_blocks": 2, "d_hidden": 32},
+        "ray": {"num_rays": 8, "N": 4, "M": 2, "d_min": 0.07, "delta": 0.1,
+                "sigma": 0.1},
+    }
+    cfg.update(over)
+    return cfg
+
+
+def _batch(rng, B=1, T=2, H=12, W=16, with_gt=True):
+    batch = {
+        "projection": rng.standard_normal((B, T, 3, 4)).astype(np.float32),
+        "image": rng.standard_normal((B, T, 3, H, W)).astype(np.float32),
+        "depth": (rng.random((B, T, H, W)) + 0.5).astype(np.float32),
+        "pose": np.tile(np.eye(4, dtype=np.float32), (B, T, 1, 1)),
+        "intrinsics": np.tile((np.eye(3) * 10).astype(np.float32), (B, T, 1, 1)),
+    }
+    if with_gt:
+        batch["vol_08_tsdf"] = rng.uniform(-1, 1, (B, 1, 16, 16, 8)).astype(np.float32)
+    batch["projection"][:, :, 2, 2] = 1.0
+    return batch
+
+
+class TestSparseDepthMasking:
+    def test_sampler_flags_backfilled_rays(self, rng):
+        """A frame with K < num_rays valid pixels yields exactly K·S valid
+        samples in the mask."""
+        cfg = config_from_dict(GenNerfConfig, _tiny_cfg())
+        batch = {k: jnp.asarray(v) for k, v in _batch(rng, T=1).items()}
+        K = 3  # valid pixels, fewer than num_rays=8
+        depth = np.zeros((1, 1, 12, 16), np.float32)
+        depth[0, 0, 4, [2, 7, 11]] = 1.5
+        batch["depth"] = jnp.asarray(depth)
+        sup = sample_supervision_points(cfg, batch, jax.random.PRNGKey(0))
+        S_ray = 1 + cfg.ray.N + cfg.ray.M
+        valid = np.asarray(sup["valid"])  # (BT, R*S, 1)
+        assert valid.shape == (1, cfg.ray.num_rays * S_ray, 1)
+        assert valid.sum() == K * S_ray
+        # valid rays point at real pixels
+        ok = np.asarray(sup["valid_pix"])[0]
+        assert ok.sum() == K
+
+    def test_loss_invariant_to_backfilled_values(self):
+        """Garbage predictions/targets at masked positions must not move any
+        loss term."""
+        cfg = config_from_dict(
+            GenNerfConfig,
+            _tiny_cfg(loss={"use_tsdf": True, "use_isdf": True,
+                            "use_eikonal": True}),
+        ).loss
+        B, N = 2, 12
+        rng = np.random.default_rng(0)
+        valid = np.ones((B, N, 1), np.float32)
+        valid[:, 8:] = 0.0
+        base_out = {
+            "tsdf": jnp.asarray(rng.uniform(-1, 1, (B, N, 1)).astype(np.float32)),
+            "grad": jnp.asarray(rng.standard_normal((B, N, 3)).astype(np.float32)),
+        }
+        base_tgt = {
+            "tsdf": jnp.asarray(rng.uniform(-1, 1, (B, N, 1)).astype(np.float32)),
+            "valid": jnp.asarray(valid),
+        }
+        _, losses_a = calculate_loss(cfg, base_out, base_tgt)
+
+        # corrupt the masked tail with large garbage
+        out_b = {
+            "tsdf": base_out["tsdf"].at[:, 8:].set(37.0),
+            "grad": base_out["grad"].at[:, 8:].set(-99.0),
+        }
+        tgt_b = dict(base_tgt, tsdf=base_tgt["tsdf"].at[:, 8:].set(-25.0))
+        _, losses_b = calculate_loss(cfg, out_b, tgt_b)
+        for k in losses_a:
+            np.testing.assert_allclose(
+                float(losses_a[k]), float(losses_b[k]), rtol=1e-6,
+                err_msg=f"loss term {k} not invariant to masked samples",
+            )
+
+    def test_train_step_runs_with_sparse_depth(self, rng):
+        """Full train step on a batch where one frame has almost no valid
+        depth — finite loss, finite grads."""
+        task = GenNerfTask(_tiny_cfg())
+        batch = _batch(rng)
+        batch["depth"][0, 1] = 0.0
+        batch["depth"][0, 1, 5, 5] = 1.0  # single valid pixel
+        state = task.init_state(jax.random.PRNGKey(0), batch)
+        state2, metrics = task.run_train_step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["combined"]))
+        for leaf in jax.tree.leaves(state2.params):
+            assert np.isfinite(np.asarray(leaf)).all()
+
+    def test_frustum_mask_free_always_valid(self, rng):
+        cfg = config_from_dict(
+            GenNerfConfig,
+            _tiny_cfg(sampling_mode="frustum",
+                      frustum={"N_free": 6, "N_near": 4, "N_surf": 4,
+                               "d_min": 0.1, "d_max": 3.0, "sigma": 0.05}),
+        )
+        batch = {k: jnp.asarray(v) for k, v in _batch(rng, T=1).items()}
+        depth = np.zeros((1, 1, 12, 16), np.float32)
+        depth[0, 0, 2, 3] = 1.0  # one valid pixel < N_surf+N_near
+        batch["depth"] = jnp.asarray(depth)
+        sup = sample_supervision_points(cfg, batch, jax.random.PRNGKey(0))
+        valid = np.asarray(sup["valid"])[0, :, 0]  # order: surf, near, free
+        # free-space samples (tail) are always valid
+        assert (valid[10:] == 1.0).all()
+        # at most 1 valid pixel serves the 8 surf+near slots per split
+        assert valid[:10].sum() <= 2
+
+
+class TestGtLessPredict:
+    def test_gen_nerf_reconstruct_without_gt(self, rng):
+        task = GenNerfTask(_tiny_cfg())
+        batch_gt = _batch(rng)
+        state = task.init_state(jax.random.PRNGKey(0), batch_gt)
+        pred, trgt = task.reconstruct(state, _batch(rng, with_gt=False))
+        assert trgt is None
+        assert np.asarray(pred.tsdf_vol).shape == tuple(task.cfg.voxel_dim_test)
+
+    def test_voxel_net_reconstruct_without_gt(self, rng):
+        cfg = {
+            "type": "VoxelNet", "voxel_size": 0.08,
+            "voxel_dim_train": [16, 16, 8], "voxel_dim_val": [16, 16, 8],
+            "voxel_dim_test": [16, 16, 8],
+            "encoder": {"use_spatial": True, "use_pointnet": False,
+                        "spatial": {"backbone": "resnet18", "num_layers": 2,
+                                    "out_channels": 8, "blur_image": False}},
+            "backbone3d": {"channels": [4, 8], "layers_down": [1, 1],
+                           "layers_up": [1], "norm": "BN"},
+        }
+        task = VoxelNetTask(cfg)
+        batch = _batch(rng, H=16, W=16, with_gt=False)
+        state = task.init_state(jax.random.PRNGKey(0), batch)
+        pred, trgt = task.reconstruct(state, batch)
+        assert trgt is None
+        assert np.asarray(pred.tsdf_vol).shape == (16, 16, 8)
+
+
+class TestPerFrameFpsPresample:
+    def test_presample_differs_across_frames(self, rng):
+        """With a presample smaller than the cloud, different frames must not
+        share one pixel subset: encoding two frames with identical depth maps
+        but different content must still explore different pixels. We verify
+        via the sparse clouds produced per frame."""
+        cfg_d = _tiny_cfg()
+        cfg_d["encoder"]["pointnet"]["fps_presample"] = 16
+        cfg_d["encoder"]["pointnet"]["num_sparse_points"] = 16
+        task = GenNerfTask(cfg_d)
+        import gennerf_tpu.models.gen_nerf as gn
+        from gennerf_tpu.ops.projection import get_3d_points
+        from gennerf_tpu.ops.sampling import farthest_point_sample
+
+        # reproduce the encode presample path directly
+        batch = _batch(rng, T=2, H=12, W=16)
+        depth = jnp.asarray(batch["depth"].reshape(2, 12, 16))
+        proj = jnp.asarray(batch["projection"].reshape(2, 3, 4))
+        xyz = get_3d_points(depth, proj).reshape(2, -1, 3)
+        key = jax.random.PRNGKey(0)
+        key, k_pre = jax.random.split(key)
+        sel = jax.random.randint(k_pre, (xyz.shape[0], 16), 0, xyz.shape[1])
+        # frames draw independent pixel subsets
+        assert not np.array_equal(np.asarray(sel[0]), np.asarray(sel[1]))
+
+
+class TestVoxelHashDownsample:
+    def test_one_point_per_occupied_voxel(self):
+        from gennerf_tpu.eval.metrics import _sample_surface
+
+        class M:
+            pass
+
+        m = M()
+        # 1000 points jammed in one 2cm cell + 5 isolated points
+        dense = np.random.default_rng(0).uniform(0, 0.019, (1000, 3))
+        sparse = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1], [2, 2, 2], [3, 3, 3]],
+                          np.float32)
+        m.vertices = np.concatenate([dense.astype(np.float32), sparse])
+        pts = _sample_surface(m, 0.02)
+        assert len(pts) == 6  # 1 centroid + 5 isolated
+        # centroid of the dense cell is the mean, not a random member
+        d = np.linalg.norm(pts - dense.mean(axis=0), axis=1)
+        np.testing.assert_allclose(pts[d.argmin()], dense.mean(axis=0), atol=1e-4)
+
+    def test_eval_mesh_smoke(self):
+        from gennerf_tpu.eval.metrics import eval_mesh
+
+        class M:
+            pass
+
+        a, b = M(), M()
+        g = np.stack(np.meshgrid(*[np.linspace(0, 1, 10)] * 3), -1).reshape(-1, 3)
+        a.vertices = g.astype(np.float32)
+        b.vertices = (g + 0.01).astype(np.float32)
+        out = eval_mesh(a, b, threshold=0.05)
+        assert out["prec"] == 1.0 and out["recal"] == 1.0 and out["fscore"] == 1.0
