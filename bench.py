@@ -139,7 +139,11 @@ def main():
     from gennerf_tpu.data.synthetic import render_scene, look_at_pose
     from gennerf_tpu.models import GenNerf
     from gennerf_tpu.models.gen_nerf import GenNerf as _G
-    from gennerf_tpu.train.predict import decode_dense, decode_dense_fused, dense_grid_points
+    from gennerf_tpu.train.predict import (
+        decode_dense,
+        decode_grid_fused,
+        dense_grid_points,
+    )
 
     platform = jax.devices()[0].platform
     cfg = _flagship_cfg()
@@ -175,29 +179,42 @@ def main():
     )
     jax.block_until_ready(repr_.planes["xz"])
 
-    pts = dense_grid_points(VOXEL_DIM, cfg.voxel_size, np.zeros(3))
-    n_pts = pts.shape[0]
+    n_pts = int(np.prod(VOXEL_DIM))
     chunk_size = 32768  # v5e sweep optimum (BENCH.md)
+    origin = jnp.zeros(3, jnp.float32)
 
-    # decode path: the XLA-fused chunked program (the Pallas fused-MLP kernel
-    # in train/predict.decode_dense_fused is faster for the MLP alone but its
-    # separate feature-gather stage currently loses end-to-end; it stays
-    # opt-in until plane gathers move into VMEM)
-    def decode(p):
-        return decode_dense(model, variables, repr_, p, jnp.zeros(3), chunk_size)
+    # decode path: the separable fused grid kernel (the production inference
+    # path — triplane sampling factored into per-axis resample matmuls +
+    # in-kernel broadcast adds, whole ResnetFC in VMEM; 38.7M pts/s vs 22.5M
+    # for the chunked XLA program on v5e-1, BENCH.md round-2 log). Falls back
+    # to the XLA path off-TPU / for unsupported configs.
+    try:
+        decode_grid_fused(model, variables, repr_, VOXEL_DIM, cfg.voxel_size, origin)
 
-    path = "xla"
+        def decode(_):
+            return decode_grid_fused(
+                model, variables, repr_, VOXEL_DIM, cfg.voxel_size, origin
+            )
+
+        path = "pallas-grid"
+    except NotImplementedError:
+        pts = dense_grid_points(VOXEL_DIM, cfg.voxel_size, np.zeros(3))
+
+        def decode(_):
+            return decode_dense(model, variables, repr_, pts, origin, chunk_size)
+
+        path = "xla"
 
     # compile + warmup; NOTE: on the tunneled TPU platform block_until_ready
     # returns before remote execution completes, so timings force a host
     # fetch of the result (a sum) to guarantee end-to-end completion.
-    tsdf = decode(pts)
+    tsdf = decode(None)
     float(tsdf.sum())
     # steady state (best of 3)
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        tsdf = decode(pts)
+        tsdf = decode(None)
         float(tsdf.sum())
         times.append(time.perf_counter() - t0)
     pps = n_pts / min(times)

@@ -202,3 +202,227 @@ def supports_fused_decode(cfg) -> bool:
         and m.combine_layer >= m.n_blocks
         and cfg.use_code
     )
+
+
+# ---------------------------------------------------------------------------
+# Separable dense-GRID decode: zero gathers
+# ---------------------------------------------------------------------------
+#
+# For the dense TSDF decode the query points form a REGULAR grid, so the
+# triplane bilinear sample factors per axis: each 128x128 plane is resampled
+# once onto its 2D grid slice by two small matmuls (MXU work, ~1 GFLOP
+# total), and the per-point feature becomes a gather-free broadcast-add
+#     feat(i,j,k) = P_xz[i,k] + P_xy[i,j] + P_yz[j,k].
+# The NeRF positional encoding is likewise axis-separable into three tables
+# with disjoint nonzero columns:
+#     code(i,j,k) = T_x[i] + T_y[j] + T_z[k]   (exact).
+# The kernel streams (Tj*nz)-point tiles: builds feat/code by broadcasting
+# VMEM-resident table slices and runs the whole ResnetFC + tanh head — the
+# feature stage that previously dominated (BENCH.md round-1 tuning log)
+# disappears into a few adds. Replaces the reference's 10k-point chunked
+# dense decode (src/models/model.py:769-777).
+
+
+def _resample_matrix(u: jnp.ndarray, reso: int) -> jnp.ndarray:
+    """(n,) normalized coords in [0,1) -> (n, reso) bilinear weight rows.
+
+    Matches grid_sample_2d(align_corners=True, border): t = u*(reso-1),
+    floor/frac split, two taps clamped into range.
+    """
+    t = u * (reso - 1)
+    lo = jnp.floor(t)
+    w = (t - lo)[:, None]
+    lo_i = jnp.clip(lo.astype(jnp.int32), 0, reso - 1)
+    hi_i = jnp.clip(lo_i + 1, 0, reso - 1)
+    eye = jnp.eye(reso, dtype=u.dtype)
+    return eye[lo_i] * (1.0 - w) + eye[hi_i] * w
+
+
+def _normalize_axis(c: jnp.ndarray, padding: float) -> jnp.ndarray:
+    """ops.coords.normalize_coordinate, one axis."""
+    u = c / (1.0 + padding + 10e-6) + 0.5
+    return jnp.clip(u, 0.0, 1.0 - 10e-6)
+
+
+def _resample_plane(plane: jnp.ndarray, wh: jnp.ndarray, ww: jnp.ndarray) -> jnp.ndarray:
+    """Separable bilinear resample of a (C, H, W) plane -> (nw, nh, C)."""
+    C, H, W = plane.shape
+    hp = jax.lax.Precision.HIGHEST
+    p = plane.transpose(1, 2, 0)  # (H, W, C)
+    q = jnp.dot(wh, p.reshape(H, W * C), precision=hp).reshape(-1, W, C)  # (nh, W, C)
+    q = q.transpose(1, 0, 2).reshape(W, -1)  # (W, nh*C)
+    r = jnp.dot(ww, q, precision=hp)  # (nw, nh*C)
+    return r.reshape(ww.shape[0], wh.shape[0], C)
+
+
+def _pe_axis_table(c: jnp.ndarray, axis: int, num_freqs: int, freq_factor: float,
+                   include_input: bool) -> jnp.ndarray:
+    """(n,) axis coords -> (n, d_code) table whose nonzero columns are this
+    axis's share of positional_encoding's interleaved layout."""
+    n = c.shape[0]
+    d_code = num_freqs * 2 * 3 + (3 if include_input else 0)
+    t = jnp.zeros((n, d_code), c.dtype)
+    off = 3 if include_input else 0
+    if include_input:
+        t = t.at[:, axis].set(c)
+    for f in range(num_freqs):
+        freq = freq_factor * 2.0**f
+        t = t.at[:, off + (2 * f) * 3 + axis].set(jnp.sin(freq * c))
+        t = t.at[:, off + (2 * f + 1) * 3 + axis].set(jnp.sin(freq * c + np.pi * 0.5))
+    return t
+
+
+def _grid_kernel(pyz_ref, pxz_ref, pxy_ref, tx_ref, ty_ref, tz_ref,
+                 w_in_ref, b_in_ref, wz_ref, bz_ref, w0_ref, b0_ref,
+                 w1_ref, b1_ref, w_out_ref, b_out_ref, w_head_ref, alpha_ref,
+                 out_ref, *, n_blocks: int, tj: int, nz: int):
+    cp = pyz_ref.shape[-1]
+    dp = tz_ref.shape[-1]
+    feat = (
+        pyz_ref[:].reshape(tj, nz, cp)
+        + pxz_ref[0][None, :, :]
+        + pxy_ref[0][:, None, :]
+    ).reshape(tj * nz, cp)
+    code = (
+        ty_ref[:][:, None, :] + tz_ref[:][None, :, :] + tx_ref[0][None, :, :]
+    ).reshape(tj * nz, dp)
+    out_ref[:] = _mlp_tail(
+        feat, code, w_in_ref, b_in_ref, wz_ref, bz_ref,
+        w0_ref, b0_ref, w1_ref, b1_ref, w_out_ref, b_out_ref,
+        w_head_ref, alpha_ref[0, 0], n_blocks=n_blocks,
+    )
+
+
+def pick_grid_tile(ny: int, nz: int, max_points: int = 4096):
+    """Largest j-tile with lane-aligned point count and sublane-aligned
+    block shapes (Mosaic requires block dims divisible by 8 unless equal to
+    the array dim), or None (caller falls back to the XLA path)."""
+    best = None
+    for tj in range(1, min(ny, 64) + 1):
+        if (
+            ny % tj == 0
+            and (tj * nz) % 128 == 0
+            and tj * nz <= max_points
+            and (tj % 8 == 0 or tj == ny)
+        ):
+            best = tj
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "voxel_dim", "voxel_size", "n_blocks", "num_freqs", "freq_factor",
+    "include_input", "padding", "tj", "interpret"))
+def fused_grid_decode(
+    plane_xz: jnp.ndarray,
+    plane_xy: jnp.ndarray,
+    plane_yz: jnp.ndarray,
+    origin: jnp.ndarray,
+    weights: dict,
+    *,
+    voxel_dim,
+    voxel_size: float,
+    n_blocks: int,
+    num_freqs: int,
+    freq_factor: float,
+    include_input: bool,
+    padding: float,
+    tj: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Dense TSDF volume via the separable grid kernel.
+
+    Args:
+        plane_*: (C, reso, reso) triplane features (batch squeezed).
+        origin: (3,) world origin of the decode grid.
+        weights: `extract_resnetfc_weights` output.
+
+    Returns:
+        (nx, ny, nz) float32 TSDF.
+    """
+    nx, ny, nz = (int(d) for d in voxel_dim)
+    reso = plane_xz.shape[-1]
+    d_in_p = weights["w_in"].shape[0]
+    d_code_p = weights["wz"].shape[1]
+    f32 = jnp.float32
+    origin = origin.astype(f32)
+
+    # world coordinates per axis (train/predict.dense_grid_points convention)
+    axes = [
+        jnp.linspace(0.0, voxel_size * n, n, dtype=f32) + origin[a]
+        for a, n in enumerate((nx, ny, nz))
+    ]
+    ws = [_resample_matrix(_normalize_axis(c, padding), reso) for c in axes]
+
+    def padc(a):
+        return jnp.pad(a, ((0, 0), (0, 0), (0, d_in_p - a.shape[-1])))
+
+    # plane orientation: sample_plane_feature width = first normalized coord,
+    # height = second ('xz' -> (x, z): width x, height z, etc.)
+    p_xz = padc(_resample_plane(plane_xz.astype(f32), ws[2], ws[0]))  # (nx, nz, Cp)
+    p_xy = padc(_resample_plane(plane_xy.astype(f32), ws[1], ws[0]))  # (nx, ny, Cp)
+    p_yz = padc(_resample_plane(plane_yz.astype(f32), ws[2], ws[1]))  # (ny, nz, Cp)
+    p_yz = p_yz.reshape(ny * nz, d_in_p)
+
+    def padd(a):
+        return jnp.pad(a, ((0, 0), (0, d_code_p - a.shape[-1])))
+
+    t_x, t_y, t_z = (
+        padd(_pe_axis_table(axes[a], a, num_freqs, freq_factor, include_input))
+        for a in range(3)
+    )
+    t_x = t_x[:, None, :]  # (nx, 1, Dp): Mosaic needs the last-two block
+    # dims divisible by (8, 128) or equal to the array dims; (1, Dp) == array
+
+    n_j = ny // tj
+    tile = tj * nz
+    H = weights["w_in"].shape[1]
+    d_out_p = weights["w_out"].shape[1]
+
+    grid_spec = pl.GridSpec(
+        grid=(n_j, nx),
+        in_specs=[
+            pl.BlockSpec((tile, d_in_p), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nz, d_in_p), lambda j, i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tj, d_in_p), lambda j, i: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d_code_p), lambda j, i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tj, d_code_p), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nz, d_code_p), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_in_p, H), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((weights["wz"].shape[0], d_code_p, H), lambda j, i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((weights["wz"].shape[0], 1, H), lambda j, i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((weights["wz"].shape[0], H, H), lambda j, i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((weights["wz"].shape[0], 1, H), lambda j, i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((weights["wz"].shape[0], H, H), lambda j, i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((weights["wz"].shape[0], 1, H), lambda j, i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, d_out_p), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_out_p), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_out_p, 128), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((tile,), lambda j, i: (i * n_j + j,), memory_space=pltpu.VMEM),
+    )
+    n_pts = nx * ny * nz
+    flops_per_pt = 2 * (
+        d_in_p * H
+        + n_blocks * (d_code_p * H + 2 * H * H)
+        + H * d_out_p
+        + d_out_p * 128
+    )
+    out = pl.pallas_call(
+        functools.partial(_grid_kernel, n_blocks=n_blocks, tj=tj, nz=nz),
+        out_shape=jax.ShapeDtypeStruct((n_pts,), jnp.float32),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_pt * n_pts,
+            bytes_accessed=(p_yz.size + p_xz.size + p_xy.size) * 4 + n_pts * 4,
+            transcendentals=n_pts,
+        ),
+        interpret=interpret,
+    )(
+        p_yz, p_xz, p_xy, t_x, t_y, t_z,
+        weights["w_in"], weights["b_in"], weights["wz"], weights["bz"],
+        weights["w0"], weights["b0"], weights["w1"], weights["b1"],
+        weights["w_out"], weights["b_out"], weights["w_head"], weights["alpha"],
+    )
+    return out.reshape(nx, ny, nz)

@@ -74,21 +74,94 @@ def predict_tsdf_volume(
     voxel_dim: Tuple[int, int, int],
     voxel_size: float,
     origin,
-    chunk_size: int = 262144,
-    use_fused: bool = False,
+    chunk_size: int = 32768,
+    use_fused: bool = True,
 ) -> jnp.ndarray:
     """Dense TSDF volume (nx, ny, nz) at the grid convention of the
-    reference's predict_tsdf."""
-    pts = dense_grid_points(voxel_dim, voxel_size, origin)
-    origin = jnp.asarray(origin, jnp.float32)
+    reference's predict_tsdf.
+
+    On TPU with a supported (triplane-only) config this runs the separable
+    fused grid kernel — the production inference path; anything else falls
+    back to the chunked XLA decode."""
+    origin_a = jnp.asarray(origin, jnp.float32)
     if use_fused:
         try:
-            tsdf = decode_dense_fused(model, variables, repr_, pts, origin)
-            return tsdf.reshape(voxel_dim)
+            return decode_grid_fused(
+                model, variables, repr_, voxel_dim, voxel_size, origin_a
+            )
         except NotImplementedError:
             pass
-    tsdf = decode_dense(model, variables, repr_, pts, origin, chunk_size)
+    pts = dense_grid_points(voxel_dim, voxel_size, origin)
+    tsdf = decode_dense(model, variables, repr_, pts, origin_a, chunk_size)
     return tsdf.reshape(voxel_dim)
+
+
+def decode_grid_fused(
+    model: GenNerf,
+    variables,
+    repr_: SceneRepr,
+    voxel_dim: Tuple[int, int, int],
+    voxel_size: float,
+    origin: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Dense decode through the separable Pallas grid kernel
+    (ops/pallas/fused_decoder.fused_grid_decode): triplane sampling factors
+    into per-axis resample matmuls + in-kernel broadcast-adds — zero gathers.
+
+    Raises NotImplementedError when the config/representation is outside the
+    kernel's support; callers fall back to `decode_dense`.
+    """
+    from ..ops.pallas.fused_decoder import (
+        extract_resnetfc_weights,
+        fused_grid_decode,
+        pick_grid_tile,
+        supports_fused_decode,
+    )
+
+    cfg = model.cfg
+    if not supports_fused_decode(cfg):
+        raise NotImplementedError("unsupported decoder config")
+    if not interpret and jax.devices()[0].platform != "tpu":
+        raise NotImplementedError("fused decode is TPU-only")
+    planes = repr_.planes
+    if (
+        repr_.volume is not None
+        or planes is None
+        or set(planes) != {"xz", "xy", "yz"}
+        or cfg.encoder.pointnet.sample_mode != "bilinear"
+    ):
+        raise NotImplementedError("grid kernel supports triplane-only scenes")
+    if planes["xz"].shape[0] != 1:
+        raise NotImplementedError("grid kernel decodes one scene at a time")
+    tj = pick_grid_tile(int(voxel_dim[1]), int(voxel_dim[2]))
+    if tj is None:
+        raise NotImplementedError(f"no lane-aligned tile for voxel_dim {voxel_dim}")
+
+    weights = extract_resnetfc_weights(
+        variables["params"]["mlp"],
+        variables["params"]["head_geo"],
+        cfg.mlp.n_blocks,
+        cfg.mlp.d_out_geo,
+    )
+    if abs(weights["b_head"]) > 0:
+        raise NotImplementedError("fused decode assumes zero head bias")
+    if weights["dims"][0] != planes["xz"].shape[1]:
+        raise NotImplementedError("decoder latent != triplane channels")
+
+    return fused_grid_decode(
+        planes["xz"][0], planes["xy"][0], planes["yz"][0],
+        origin, weights,
+        voxel_dim=tuple(int(d) for d in voxel_dim),
+        voxel_size=float(voxel_size),
+        n_blocks=cfg.mlp.n_blocks,
+        num_freqs=cfg.code.num_freqs,
+        freq_factor=float(cfg.code.freq_factor),
+        include_input=bool(cfg.code.include_input),
+        padding=float(cfg.encoder.pointnet.padding),
+        tj=tj,
+        interpret=interpret,
+    )
 
 
 def decode_dense_fused(
