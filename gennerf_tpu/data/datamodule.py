@@ -1,14 +1,17 @@
 """ScannetDataModule: dataset selection + transform chains + loaders.
 
-Reference: src/data/datamodule.py. The loaders here are simple host-side
-iterators with background-thread prefetch (the reference used
-torch DataLoader worker processes; tar/jpeg decode is IO+PIL-bound, so
-threads overlap it with device compute without pickling overhead).
+Reference: src/data/datamodule.py. The loaders are host-side map-style
+iterators with a multi-worker item pool (the reference's `num_workers`
+DataLoader processes, datamodule.py:122-126): items load concurrently on a
+thread pool (PIL/zlib release the GIL during decode, so threads overlap
+IO + decompress without pickling the arrays back) while batches assemble
+and yield strictly in order.
 """
 from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -25,17 +28,45 @@ from .datasets import (
 )
 
 
+class LockedGenerator:
+    """Thread-safe proxy over np.random.Generator: datasets and transforms
+    draw randomness inside __getitem__, which the loader runs concurrently
+    on a worker pool (np Generators are not thread-safe)."""
+
+    def __init__(self, rng: np.random.Generator):
+        self._rng = rng
+        self._lock = threading.Lock()
+
+    def __getattr__(self, name):
+        fn = getattr(self._rng, name)
+        if not callable(fn):
+            return fn
+        lock = self._lock
+
+        def locked(*a, **k):
+            with lock:
+                return fn(*a, **k)
+
+        return locked
+
+
 class DataLoader:
-    """Minimal map-style loader: shuffle, batch, collate, thread prefetch."""
+    """Map-style loader: shuffle, batch, collate, multi-worker prefetch.
+
+    num_workers > 0: items of the next `prefetch` batches load concurrently
+    on a worker pool. num_workers == 0: fully synchronous (debug mode,
+    matching the reference's num_workers=0).
+    """
 
     def __init__(self, dataset, batch_size=1, shuffle=False, collate=collate_fn,
-                 drop_last=False, prefetch=2, seed=0):
+                 drop_last=False, prefetch=2, seed=0, num_workers=4):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.collate = collate
         self.drop_last = drop_last
-        self.prefetch = prefetch
+        self.prefetch = max(prefetch, 1)
+        self.num_workers = num_workers
         self.rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -44,7 +75,7 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _batches(self):
+    def _index_batches(self):
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(idx)
@@ -52,35 +83,32 @@ class DataLoader:
             chunk = idx[s : s + self.batch_size]
             if self.drop_last and len(chunk) < self.batch_size:
                 return
-            yield self.collate([self.dataset[int(i)] for i in chunk])
+            yield [int(i) for i in chunk]
 
     def __iter__(self):
-        if self.prefetch <= 0:
-            yield from self._batches()
+        if self.num_workers <= 0:
+            for chunk in self._index_batches():
+                yield self.collate([self.dataset[i] for i in chunk])
             return
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        SENTINEL = object()
-        err = []
 
-        def worker():
-            try:
-                for b in self._batches():
-                    q.put(b)
-            except BaseException as e:  # surfaced on the main thread
-                err.append(e)
-            finally:
-                q.put(SENTINEL)
-
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is SENTINEL:
-                break
-            yield item
-        t.join()
-        if err:
-            raise err[0]
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            pending: "queue.SimpleQueue" = queue.SimpleQueue()
+            chunks = self._index_batches()
+            in_flight = 0
+            for chunk in chunks:
+                pending.put([pool.submit(self.dataset.__getitem__, i) for i in chunk])
+                in_flight += 1
+                if in_flight >= self.prefetch + 1:
+                    break
+            while in_flight:
+                futures = pending.get()
+                in_flight -= 1
+                batch = self.collate([f.result() for f in futures])
+                nxt = next(chunks, None)
+                if nxt is not None:
+                    pending.put([pool.submit(self.dataset.__getitem__, i) for i in nxt])
+                    in_flight += 1
+                yield batch
 
 
 class ScannetDataModule:
@@ -149,7 +177,7 @@ class ScannetDataModule:
 
     def choose_dataset(self, mode: str):
         c = self.cfg
-        rng = np.random.default_rng(self.seed + hash(mode) % 1000)
+        rng = LockedGenerator(np.random.default_rng(self.seed + hash(mode) % 1000))
         transform = self.get_transform(mode, rng)
         dtype = c.get("dataset_type", "sequences")
         from_archive = c.get("from_archive", False)
@@ -205,6 +233,8 @@ class ScannetDataModule:
             batch_size=self.cfg.get("batch_size", 1),
             shuffle=shuffle,
             seed=self.seed,
+            num_workers=self.cfg.get(f"num_workers_{mode}",
+                                     self.cfg.get("num_workers", 4)),
         )
 
     def train_dataloader(self) -> DataLoader:

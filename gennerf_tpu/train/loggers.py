@@ -1,9 +1,13 @@
-"""Loggers: console (rank-aware), CSV scalar logger, local artifact writer.
+"""Loggers: console (rank-aware), CSV scalar logger, TensorBoard event
+writer, local artifact writer.
 
 Reference surface (SURVEY §5.5): RankedLogger (pylogger.py), CSV logger,
-and WandbLocalLogger's LocalWriter (`.local.log_mesh/log_tensor/log_tsdf/
-log_image` file sinks under save_dir/local/). wandb/tensorboard backends are
-optional (gated on import) — this environment has neither.
+TensorBoard logger, and WandbLocalLogger's LocalWriter (`.local.log_mesh/
+log_tensor/log_tsdf/log_image` file sinks under save_dir/local/). The
+TensorBoard backend here is dependency-free: it hand-encodes Event protos
+into tfevents files (TFRecord framing with masked CRC32C) that the real
+TensorBoard reads — no tensorflow/tensorboardX install needed. wandb is
+gated on import (absent in this environment).
 """
 from __future__ import annotations
 
@@ -11,7 +15,10 @@ import csv
 import json
 import logging
 import os
+import socket
+import struct
 import sys
+import time
 from typing import Any, Dict, Optional
 
 import numpy as np

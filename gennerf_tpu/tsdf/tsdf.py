@@ -14,8 +14,34 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from functools import partial
+
 from ..ops.coords import coordinates
 from ..ops.interpolation import grid_sample_3d
+
+
+@partial(jax.jit, static_argnames=("voxel_dim", "old_dim", "voxel_size", "align_corners"))
+def _transform_sample_grid(transform, origin, old_origin, voxel_dim, old_dim,
+                           voxel_size, align_corners):
+    """Sample coordinates (1, V, 3) + out-of-bounds mask for a rigid
+    world-frame transform resample (jit: the host pipeline calls this per
+    item — eager dispatch of the ~300 ops costs ~10x the compute)."""
+    coords = coordinates(voxel_dim).astype(jnp.float32)  # (3, V)
+    world = coords * voxel_size + origin.T
+    world = jnp.concatenate([world, jnp.ones_like(world[:1])], axis=0)
+    world = transform[:3] @ world
+    grid = (world - old_origin.T) / voxel_size  # voxel coords in old frame
+    dims = jnp.array(old_dim, dtype=jnp.float32).reshape(3, 1)
+    norm = 2.0 * grid / (dims - 1.0) - 1.0
+    sample = jnp.stack([norm[2], norm[1], norm[0]], axis=-1)[None]  # (1, V, 3)
+    oob = (jnp.abs(norm) >= 1).any(axis=0)
+    return sample, oob
+
+
+@partial(jax.jit, static_argnames=("mode", "align_corners"))
+def _resample(vol_in, sample, mode, align_corners):
+    return grid_sample_3d(vol_in, sample, mode=mode,
+                          align_corners=align_corners, padding_mode="zeros")
 
 
 @jax.tree_util.register_pytree_node_class
@@ -107,29 +133,23 @@ class TSDF:
         else:
             origin = jnp.asarray(origin, dtype=jnp.float32).reshape(1, 3)
 
-        coords = coordinates(voxel_dim).astype(jnp.float32)  # (3, V)
-        world = coords * self.voxel_size + origin.T
-        world = jnp.concatenate([world, jnp.ones_like(world[:1])], axis=0)
-        world = transform[:3] @ world
-        grid = (world - old_origin.T) / self.voxel_size  # voxel coords in old frame
-
         # normalized sample coords in [-1, 1]; grid_sample axis convention:
         # coord 0 -> last input axis. Input below is (1, 1, nx, ny, nz), so
         # coord order must be (z, y, x). NOTE reference quirk preserved
         # (tsdf.py:287-292): the normalization always uses the (dim-1)
         # align_corners=True formula, while sampling defaults to
         # align_corners=False — a deliberate half-voxel offset we replicate.
-        dims = jnp.array(old_dim, dtype=jnp.float32).reshape(3, 1)
-        norm = 2.0 * grid / (dims - 1.0) - 1.0
-        sample = jnp.stack([norm[2], norm[1], norm[0]], axis=-1)[None]  # (1, V, 3)
+        sample, oob = _transform_sample_grid(
+            transform, origin, old_origin, tuple(voxel_dim), tuple(old_dim),
+            float(self.voxel_size), align_corners,
+        )
 
         vol_in = self.tsdf_vol[None, None]  # (1, 1, nx, ny, nz)
         # padding_mode='zeros' (torch default in the reference call); the oob
         # mask below overwrites boundary voxels with 1 anyway
-        near = grid_sample_3d(vol_in, sample, mode="nearest", align_corners=align_corners, padding_mode="zeros")[0, 0]
-        bilin = grid_sample_3d(vol_in, sample, mode="bilinear", align_corners=align_corners, padding_mode="zeros")[0, 0]
+        near = _resample(vol_in, sample, "nearest", align_corners)[0, 0]
+        bilin = _resample(vol_in, sample, "bilinear", align_corners)[0, 0]
         vol = jnp.where(jnp.abs(near) < 1, bilin, near)
-        oob = (jnp.abs(norm) >= 1).any(axis=0)
         vol = jnp.where(oob, 1.0, vol)
         vol = vol.reshape(voxel_dim)
 
@@ -140,7 +160,7 @@ class TSDF:
             else:
                 v_in = value[None].astype(jnp.float32)
             mode = "bilinear" if jnp.issubdtype(value.dtype, jnp.floating) else "nearest"
-            out = grid_sample_3d(v_in, sample, mode=mode, align_corners=align_corners, padding_mode="zeros")[0]
+            out = _resample(v_in, sample, mode, align_corners)[0]
             out = out.reshape((-1,) + tuple(voxel_dim)).astype(value.dtype)
             if value.ndim == 3:
                 out = out[0]
