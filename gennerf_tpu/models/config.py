@@ -15,6 +15,10 @@ from typing import Optional, Tuple
 class SpatialEncoderConfig:
     backbone: str = "resnet34"
     pretrained: bool = True
+    # path to a ported-weights npz (scripts/port_weights.py output); when
+    # set, task init grafts the ImageNet backbone into the init tree
+    # (reference torchvision weights="DEFAULT", spatial_encoder.py:62-69)
+    pretrained_path: Optional[str] = None
     num_layers: int = 4
     index_interp: str = "bilinear"
     index_padding: str = "border"

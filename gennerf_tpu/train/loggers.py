@@ -79,6 +79,101 @@ class CSVLogger:
             csv.DictWriter(f, fieldnames=self._fieldnames).writerow(row)
 
 
+# -- dependency-free TensorBoard event writer --------------------------------
+
+_CRC_TABLE = []
+
+
+def _crc32c(data: bytes) -> int:
+    """CRC32-Castagnoli (TFRecord checksums; zlib.crc32 is the wrong poly)."""
+    if not _CRC_TABLE:
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+            _CRC_TABLE.append(c)
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _CRC_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def _masked_crc(data: bytes) -> int:
+    crc = _crc32c(data)
+    return ((crc >> 15 | crc << 17) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+def _varint(n: int) -> bytes:
+    out = b""
+    while True:
+        b7 = n & 0x7F
+        n >>= 7
+        out += bytes([b7 | (0x80 if n else 0)])
+        if not n:
+            return out
+
+
+def _pb_bytes(field: int, payload: bytes) -> bytes:
+    return _varint(field << 3 | 2) + _varint(len(payload)) + payload
+
+
+def _pb_double(field: int, v: float) -> bytes:
+    return _varint(field << 3 | 1) + struct.pack("<d", v)
+
+
+def _pb_float(field: int, v: float) -> bytes:
+    return _varint(field << 3 | 5) + struct.pack("<f", v)
+
+
+def _pb_int(field: int, v: int) -> bytes:
+    return _varint(field << 3) + _varint(v)
+
+
+def _tf_event(wall_time: float, step: int = 0, file_version: str = None,
+              scalars: Dict[str, float] = None) -> bytes:
+    """Encode a tensorboard Event proto (event.proto: wall_time=1 double,
+    step=2 int64, file_version=3 string, summary=5; Summary.Value:
+    tag=1 string, simple_value=2 float)."""
+    msg = _pb_double(1, wall_time)
+    if step:
+        msg += _pb_int(2, step)
+    if file_version is not None:
+        msg += _pb_bytes(3, file_version.encode())
+    if scalars:
+        summary = b"".join(
+            _pb_bytes(1, _pb_bytes(1, tag.encode()) + _pb_float(2, float(v)))
+            for tag, v in scalars.items()
+        )
+        msg += _pb_bytes(5, summary)
+    return msg
+
+
+class TensorBoardLogger:
+    """Writes real tfevents files without tensorflow/tensorboardX: Event
+    protos hand-encoded into TFRecord framing (length + masked-CRC32C),
+    readable by stock TensorBoard. Reference surface:
+    configs/logger/tensorboard.yaml (lightning.TensorBoardLogger)."""
+
+    def __init__(self, save_dir: str, name: str = "tensorboard"):
+        self.dir = os.path.join(save_dir, name)
+        os.makedirs(self.dir, exist_ok=True)
+        fname = f"events.out.tfevents.{int(time.time())}.{socket.gethostname()}"
+        self.path = os.path.join(self.dir, fname)
+        self._write(_tf_event(time.time(), file_version="brain.Event:2"))
+
+    def _write(self, record: bytes) -> None:
+        header = struct.pack("<Q", len(record))
+        with open(self.path, "ab") as f:
+            f.write(header)
+            f.write(struct.pack("<I", _masked_crc(header)))
+            f.write(record)
+            f.write(struct.pack("<I", _masked_crc(record)))
+
+    def log_metrics(self, metrics: Dict[str, Any], step: int) -> None:
+        scalars = {k: float(v) for k, v in metrics.items()}
+        self._write(_tf_event(time.time(), step=int(step), scalars=scalars))
+
+
 class LocalWriter:
     """File-artifact sink (reference wandb_local_logger.py:8-46 LocalWriter):
     meshes (.ply), tensors (.npy), TSDFs (.npz), images (.png)."""
@@ -121,6 +216,23 @@ class LocalWriter:
         write_png(self._path(name, ".png"), arr)
 
 
+class _WandbLogger:
+    """Thin wandb scalar sink (reference configs/logger/wandb.yaml); only
+    constructed when wandb imports."""
+
+    def __init__(self, cfg: Dict[str, Any]):
+        import wandb
+
+        self.run = wandb.init(
+            project=cfg.get("project", "gennerf_tpu"),
+            name=cfg.get("name"), dir=cfg.get("save_dir"),
+            mode=cfg.get("mode", "offline"),
+        )
+
+    def log_metrics(self, metrics: Dict[str, Any], step: int) -> None:
+        self.run.log({k: float(v) for k, v in metrics.items()}, step=step)
+
+
 class MetricsLogger:
     """Bundles the configured scalar loggers + the local artifact sink
     (the reference's logger list with a .local attribute)."""
@@ -130,6 +242,18 @@ class MetricsLogger:
         self.scalar_loggers = []
         if "csv" in cfg:
             self.scalar_loggers.append(CSVLogger(cfg["csv"].get("save_dir", save_dir)))
+        if "tensorboard" in cfg:
+            self.scalar_loggers.append(
+                TensorBoardLogger(cfg["tensorboard"].get("save_dir", save_dir))
+            )
+        if "wandb" in cfg:  # optional external backend (absent in this env)
+            try:
+                import wandb  # noqa: F401
+
+                self.scalar_loggers.append(_WandbLogger(cfg["wandb"]))
+            except ImportError:
+                get_logger().warning("wandb not installed; falling back to CSV")
+                self.scalar_loggers.append(CSVLogger(save_dir))
         if not self.scalar_loggers:
             self.scalar_loggers.append(CSVLogger(save_dir))
         local_cfg = cfg.get("local", {})

@@ -31,6 +31,19 @@ def _array_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
     return {k: v for k, v in batch.items() if isinstance(v, (np.ndarray, jnp.ndarray))}
 
 
+def _maybe_load_pretrained(variables: dict, cfg) -> dict:
+    """Graft ported ImageNet backbone weights (scripts/port_weights.py npz)
+    into freshly-initialized variables when configured (reference
+    spatial_encoder.py:62-69 weights='DEFAULT')."""
+    enc = cfg.encoder
+    path = enc.use_spatial and enc.spatial.pretrained_path
+    if not path:
+        return variables
+    from ..utils.port_torch import apply_pretrained_npz
+
+    return apply_pretrained_npz(variables, path, scope_path=("spatial", "resnet"))
+
+
 class GenNerfTask:
     name = "GenNerf"
 
@@ -59,6 +72,7 @@ class GenNerfTask:
             xyz, jax.random.PRNGKey(0), tuple(self.cfg.voxel_dim_train),
             jnp.zeros(3), train=False,
         )
+        variables = _maybe_load_pretrained(variables, self.cfg)
         return create_train_state(variables, self.tx)
 
     def run_train_step(self, state, batch, key):
@@ -132,6 +146,7 @@ class VoxelNetTask:
             jnp.asarray(b["projection"]), jnp.asarray(b["image"]), jnp.asarray(b["depth"]),
             tuple(self.cfg.voxel_dim_train), jnp.zeros(3), targets, train=False,
         )
+        variables = _maybe_load_pretrained(variables, self.cfg)
         return create_train_state(variables, self.tx)
 
     def run_train_step(self, state, batch, key):

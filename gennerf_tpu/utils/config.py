@@ -137,6 +137,31 @@ def _load_group(config_dir: str, group: str, name: str, _depth: int = 0) -> Dict
     return _deep_merge(base, data)
 
 
+def _load_experiment(config_dir: str, name: str, group_choices: Dict[str, Any],
+                     _depth: int = 0) -> Dict[str, Any]:
+    """Load an experiment overlay. Its `defaults:` may re-select config
+    groups (`- override /model: voxel_net`) or inherit ANOTHER experiment
+    (a plain string entry), letting variant presets state only their delta
+    — mirrors the reference's family of near-identical experiment yamls."""
+    if _depth > 8:
+        raise ConfigError(f"experiment inheritance too deep at {name}")
+    exp_path = os.path.join(config_dir, "experiment", f"{name}.yaml")
+    if not os.path.exists(exp_path):
+        raise ConfigError(f"unknown experiment {name!r} ({exp_path})")
+    exp_cfg = _load_yaml(exp_path)
+    base: Dict[str, Any] = {}
+    for entry in exp_cfg.pop("defaults", []):
+        if isinstance(entry, dict):
+            for g, n in entry.items():
+                g = str(g).removeprefix("override ").removeprefix("/")
+                group_choices[g] = n
+        elif isinstance(entry, str) and entry != "_self_":
+            base = _deep_merge(
+                base, _load_experiment(config_dir, entry, group_choices, _depth + 1)
+            )
+    return _deep_merge(base, exp_cfg)
+
+
 def compose(
     config_dir: str,
     config_name: str = "train",
@@ -179,15 +204,7 @@ def compose(
     # explicit CLI group choices win over the experiment (Hydra semantics)
     exp_cfg: Dict[str, Any] = {}
     if experiment:
-        exp_path = os.path.join(config_dir, "experiment", f"{experiment}.yaml")
-        if not os.path.exists(exp_path):
-            raise ConfigError(f"unknown experiment {experiment!r} ({exp_path})")
-        exp_cfg = _load_yaml(exp_path)
-        for entry in exp_cfg.pop("defaults", []):
-            if isinstance(entry, dict):
-                for g, n in entry.items():
-                    g = str(g).removeprefix("override ").removeprefix("/")
-                    group_choices[g] = n
+        exp_cfg = _load_experiment(config_dir, experiment, group_choices)
     group_choices.update(cli_group_choices)
 
     # compose groups (resolving within-group defaults inheritance);

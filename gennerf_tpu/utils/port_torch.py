@@ -111,6 +111,35 @@ def load_pretrained_into_variables(variables: dict, state_dict: dict, backbone: 
     return new_vars
 
 
+def apply_pretrained_npz(variables: dict, npz_path: str, scope_path=("spatial", "resnet")):
+    """Graft a ported-weights npz (scripts/port_weights.py output) into a
+    model's variables under `scope_path`. The npz holds a flattened tree
+    with 'params/...' and optional 'batch_stats/...' keys rooted at the
+    ResNet subtree."""
+    import copy
+
+    import numpy as np
+
+    flat = dict(np.load(npz_path))
+    new_vars = copy.deepcopy(jax_tree_to_dict(variables))
+    for col in ("params", "batch_stats"):
+        sub = {k[len(col) + 1:]: v for k, v in flat.items() if k.startswith(col + "/")}
+        if not sub:
+            continue
+        tree: dict = {}
+        for key, v in sub.items():
+            node = tree
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = v
+        target = new_vars[col]
+        for k in scope_path:
+            target = target[k]
+        _merge_checked(target, tree)
+    return new_vars
+
+
 def jax_tree_to_dict(tree):
     if hasattr(tree, "unfreeze"):
         return tree.unfreeze()

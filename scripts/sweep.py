@@ -53,9 +53,9 @@ def trial_overrides(sweep_cfg, rng):
             yield trial
 
 
-def main(argv=None):
+def main(argv=None, spec=None):
     parser = argparse.ArgumentParser()
-    parser.add_argument("--config", required=True)
+    parser.add_argument("--config", required=spec is None)
     parser.add_argument("--output", required=True)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("extra", nargs="*", help="extra config overrides for every trial")
@@ -63,8 +63,11 @@ def main(argv=None):
 
     import train as train_cli
 
-    with open(args.config) as f:
-        sweep_cfg = yaml.safe_load(f)
+    if spec is not None:  # hparams_search group dict from scripts/train.py
+        sweep_cfg = dict(spec)
+    else:
+        with open(args.config) as f:
+            sweep_cfg = yaml.safe_load(f)
     rng = np.random.default_rng(args.seed)
     metric_key = sweep_cfg.get("metric", "val_combined")
     os.makedirs(args.output, exist_ok=True)

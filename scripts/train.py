@@ -136,6 +136,16 @@ def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     config_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "configs")
     cfg = compose(config_dir, "train", argv)
+    # hparams_search group (reference configs/train.yaml defaults list):
+    # `train.py hparams_search=<name> ...` delegates the whole run to the
+    # sweep runner over configs/hparams_search/<name>.yaml
+    hs = cfg.get("hparams_search")
+    if hs:
+        import sweep as sweep_cli
+
+        out = cfg["paths"]["output_dir"]
+        passthrough = [a for a in argv if not a.startswith("hparams_search")]
+        return sweep_cli.main(["--output", out, *passthrough], spec=hs)
     try:
         metrics, _ = train(cfg)
         return metrics

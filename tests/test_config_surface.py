@@ -1,0 +1,91 @@
+"""Config-surface coverage: experiment inheritance, every shipped
+experiment preset composes, hparams_search group, cluster paths."""
+import os
+
+import pytest
+
+from gennerf_tpu.models.config import (
+    GenNerfConfig,
+    VoxelNetConfig,
+    config_from_dict,
+)
+from gennerf_tpu.utils.config import ConfigError, compose
+
+CONFIG_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "configs")
+
+
+def _all_experiments():
+    d = os.path.join(CONFIG_DIR, "experiment")
+    return sorted(f[:-5] for f in os.listdir(d) if f.endswith(".yaml"))
+
+
+@pytest.mark.parametrize("name", _all_experiments())
+def test_every_experiment_composes(name):
+    cfg = compose(CONFIG_DIR, "train", [f"experiment={name}"])
+    model_cfg = cfg["model"]
+    cls = VoxelNetConfig if model_cfg.get("type") == "VoxelNet" else GenNerfConfig
+    built = config_from_dict(cls, model_cfg)  # raises on unknown structure
+    assert built.voxel_size > 0
+
+
+def test_experiment_inheritance_delta_only():
+    base = compose(CONFIG_DIR, "train", ["experiment=seq1_frames8_evenspaced_pointnet"])
+    var = compose(CONFIG_DIR, "train", ["experiment=seq1_frames8_evenspaced_eikonal"])
+    # delta applied
+    assert var["model"]["loss"]["use_eikonal"] is True
+    assert var["trainer"]["max_epochs"] == 500
+    # base preserved
+    assert var["model"]["mlp"]["d_hidden"] == base["model"]["mlp"]["d_hidden"] == 256
+    assert var["data"]["num_frames_train"] == 8
+    # spatial variant flips encoders but keeps the data surface
+    sp = compose(CONFIG_DIR, "train", ["experiment=seq1_frames8_evenspaced_spatial"])
+    assert sp["model"]["encoder"]["use_spatial"] is True
+    assert sp["model"]["encoder"]["use_pointnet"] is False
+    assert sp["data"]["voxel_size"] == base["data"]["voxel_size"]
+
+
+def test_hparams_search_group_composes():
+    cfg = compose(CONFIG_DIR, "train", ["hparams_search=gen_nerf_grid"])
+    hs = cfg["hparams_search"]
+    assert hs["method"] == "grid"
+    assert "model.optimizer.lr" in hs["parameters"]
+    # default: absent
+    cfg0 = compose(CONFIG_DIR, "train", [])
+    assert cfg0.get("hparams_search") is None
+
+
+def test_cluster_paths_use_tmpdir(monkeypatch, tmp_path):
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    monkeypatch.setenv("WORK", str(tmp_path / "work"))
+    cfg = compose(CONFIG_DIR, "train", ["paths=cluster"])
+    assert cfg["paths"]["data_dir"] == f"{tmp_path}/data/scannet"
+    assert cfg["paths"]["log_dir"].startswith(str(tmp_path / "work"))
+
+
+def test_hparams_search_delegates_to_sweep(tmp_path, monkeypatch):
+    """train.py hparams_search=<name> runs the sweep runner (smoke: a 1-point
+    grid over a config that fails fast still produces sweep_results.jsonl)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(CONFIG_DIR), "scripts"))
+    import train as train_cli
+
+    spec_dir = os.path.join(CONFIG_DIR, "hparams_search")
+    os.makedirs(spec_dir, exist_ok=True)
+    with open(os.path.join(spec_dir, "_test_tiny.yaml"), "w") as f:
+        f.write(
+            "method: grid\nmetric: val_combined\n"
+            "parameters:\n  seed: {values: [0]}\n"
+        )
+    try:
+        results = train_cli.main([
+            "hparams_search=_test_tiny",
+            f"paths.output_dir={tmp_path}",
+            # point at a nonexistent dataset -> trial errors are recorded,
+            # the sweep machinery itself must survive
+            "data.data_dir=/nonexistent",
+        ])
+        assert len(results) == 1
+        assert os.path.exists(os.path.join(tmp_path, "sweep_results.jsonl"))
+    finally:
+        os.remove(os.path.join(spec_dir, "_test_tiny.yaml"))

@@ -102,3 +102,60 @@ def test_port_resnet18_feature_parity(rng):
         ref = tf.numpy()
         ours = np.asarray(ff).transpose(0, 3, 1, 2)
         np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_port_weights_cli_end_to_end(rng, tmp_path):
+    """torch .pth -> scripts/port_weights.py -> npz -> GenNerfTask init with
+    encoder.spatial.pretrained_path: the init tree must carry the ported
+    ImageNet-style weights and the spatial encode must run (VERDICT #7)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts"))
+    import port_weights as pw_cli
+
+    torch.manual_seed(1)
+    tmodel = TorchResNet18Stem().eval()
+    with torch.no_grad():
+        for _ in range(2):
+            tmodel.train()(torch.randn(2, 3, 32, 32))
+        tmodel.eval()
+    pth = str(tmp_path / "resnet18.pth")
+    torch.save(tmodel.state_dict(), pth)
+
+    npz = str(tmp_path / "resnet18_flax.npz")
+    pw_cli.main(["backbone", pth, npz, "--backbone", "resnet18",
+                 "--num-stages", "2"])
+    assert os.path.exists(npz)
+
+    from gennerf_tpu.train.tasks import GenNerfTask
+
+    cfg = {
+        "type": "GenNerf", "voxel_size": 0.08,
+        "voxel_dim_train": [16, 16, 8], "voxel_dim_val": [16, 16, 8],
+        "voxel_dim_test": [16, 16, 8],
+        "encoder": {"use_spatial": True, "use_pointnet": False,
+                    "spatial": {"backbone": "resnet18", "num_layers": 3,
+                                "blur_image": False, "pretrained_path": npz}},
+        "mlp": {"d_out_sem": 1, "d_out_geo": 8, "n_blocks": 2, "d_hidden": 32},
+    }
+    task = GenNerfTask(cfg)
+    batch = {
+        "projection": rng.standard_normal((1, 2, 3, 4)).astype(np.float32),
+        "image": rng.standard_normal((1, 2, 3, 16, 16)).astype(np.float32),
+        "depth": (rng.random((1, 2, 16, 16)) + 0.5).astype(np.float32),
+        "pose": np.tile(np.eye(4, dtype=np.float32), (1, 2, 1, 1)),
+        "intrinsics": np.tile((np.eye(3) * 10).astype(np.float32), (1, 2, 1, 1)),
+        "vol_08_tsdf": rng.uniform(-1, 1, (1, 1, 16, 16, 8)).astype(np.float32),
+    }
+    batch["projection"][:, :, 2, 2] = 1.0
+    state = task.init_state(jax.random.PRNGKey(0), batch)
+    conv1 = np.asarray(state.params["spatial"]["resnet"]["conv1"]["kernel"])
+    ref = tmodel.conv1.weight.detach().numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_array_equal(conv1, ref)
+    bn_mean = np.asarray(state.batch_stats["spatial"]["resnet"]["bn1"]["mean"])
+    np.testing.assert_allclose(bn_mean, tmodel.bn1.running_mean.numpy(), rtol=1e-6)
+    # training still steps with the grafted weights
+    _, metrics = task.run_train_step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["combined"]))

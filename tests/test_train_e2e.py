@@ -164,3 +164,73 @@ class TestOverfitTraining:
         assert os.path.exists(os.path.join(local, "val_mesh", "val_trgt_mesh.ply"))
         # checkpoints saved
         assert os.path.isdir(os.path.join(out, "checkpoints"))
+
+
+@pytest.mark.slow
+class TestPredictCli:
+    def test_predict_gtless_scene_exports_npz_and_ply(self, synth_data, tmp_path):
+        """Train briefly, strip the GT volumes from the scene (the reference's
+        scans_test layout), and drive scripts/predict.py: it must size the
+        decode volume from voxel_dim_test and export {scene}.npz + {scene}.ply
+        (reference voxel_net.py:354-384)."""
+        import shutil
+
+        root, info_path = synth_data
+        import predict as predict_cli
+        import train as train_cli
+
+        run = str(tmp_path / "run")
+        common = [
+            f"paths.data_dir={root}",
+            "data.datasets_train=[scans/scene_synth0/info.json]",
+            "data.datasets_val=[scans/scene_synth0/info.json]",
+            "data.datasets_test=[scans/scene_synth0/info.json]",
+            "data.voxel_dim_train=[40,40,20]",
+            "data.voxel_dim_val=[40,40,20]",
+            "data.voxel_dim_test=[40,40,20]",
+            "data.voxel_size=0.08",
+            "model.encoder.pointnet.plane_resolution=32",
+            "model.encoder.pointnet.num_sparse_points=64",
+            "model.mlp.d_hidden=64",
+            "model.mlp.n_blocks=2",
+            "model.ray.num_rays=16",
+        ]
+        train_cli.main([
+            "experiment=overfit_synthetic", "data=frame",
+            f"paths.output_dir={run}",
+            "trainer.max_epochs=1", "trainer.num_sanity_val_steps=0",
+            "trainer.check_val_every_n_epoch=50",
+            "data.frame_idx=0", "data.length_train=2", "data.length_val=1",
+            *common,
+        ])
+        ckpt = os.path.join(run, "checkpoints")
+        assert os.path.isdir(ckpt)
+
+        # GT-less copy of the scene: drop the fused volumes from info.json
+        gtless_root = str(tmp_path / "gtless")
+        shutil.copytree(root, gtless_root)
+        info_file = os.path.join(gtless_root, "scans", "scene_synth0", "info.json")
+        info = json.load(open(info_file))
+        for k in list(info):
+            if k.startswith("file_name_vol"):
+                del info[k]
+        json.dump(info, open(info_file, "w"))
+
+        out = str(tmp_path / "pred")
+        predict_cli.main([
+            f"ckpt_path={ckpt}",
+            f"paths.data_dir={gtless_root}",
+            f"paths.output_dir={out}",
+            "data.datasets_test=[scans/scene_synth0/info.json]",
+            "data.dataset_type=scenes",
+            "data.num_frames_test=4",
+            "data.voxel_dim_test=[40,40,20]",
+            "data.voxel_size=0.08",
+            "data.voxel_types=[]",
+        ])
+        assert os.path.exists(os.path.join(out, "scene_synth0.npz"))
+        assert os.path.exists(os.path.join(out, "scene_synth0.ply"))
+        from gennerf_tpu.tsdf import TSDF
+
+        t = TSDF.load(os.path.join(out, "scene_synth0.npz"))
+        assert np.asarray(t.tsdf_vol).shape == (40, 40, 20)
