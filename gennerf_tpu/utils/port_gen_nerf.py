@@ -187,6 +187,78 @@ def export_gen_nerf_params(params: dict, cfg) -> Dict[str, np.ndarray]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# VoxelNet: backbone3d EncoderDecoder + VoxelHeads
+# ---------------------------------------------------------------------------
+
+def _conv3d(w) -> np.ndarray:
+    """torch Conv3d (O, I, kd, kh, kw) -> flax (kd, kh, kw, I, O)."""
+    return np.asarray(w, np.float32).transpose(2, 3, 4, 1, 0)
+
+
+def _bn(sd: Dict, prefix: str):
+    params = {"scale": np.asarray(sd[prefix + ".weight"], np.float32),
+              "bias": np.asarray(sd[prefix + ".bias"], np.float32)}
+    stats = {"mean": np.asarray(sd[prefix + ".running_mean"], np.float32),
+             "var": np.asarray(sd[prefix + ".running_var"], np.float32)}
+    return {"BatchNorm_0": params}, {"BatchNorm_0": stats}
+
+
+def _block3d(sd: Dict, prefix: str):
+    """Reference BasicBlock3d (backbone3d.py:56-95) -> flax BasicBlock3d."""
+    p: dict = {"conv1": {"kernel": _conv3d(sd[prefix + ".conv1.weight"])},
+               "conv2": {"kernel": _conv3d(sd[prefix + ".conv2.weight"])}}
+    s: dict = {}
+    p["bn1"], s["bn1"] = _bn(sd, prefix + ".bn1")
+    p["bn2"], s["bn2"] = _bn(sd, prefix + ".bn2")
+    if prefix + ".downsample.weight" in sd:
+        p["down"] = {"kernel": _conv3d(sd[prefix + ".downsample.weight"])}
+    return p, s
+
+
+def port_backbone3d(sd: Dict, layers_down, layers_up, prefix: str = "backbone3d"):
+    """Reference EncoderDecoder state dict (backbone3d.py:134-208 module
+    names: layers_down.{i} Sequential, proj.{i} [already reversed],
+    layers_up_conv.{i}, layers_up_res.{i}) -> flax params/batch_stats."""
+    params: dict = {}
+    stats: dict = {}
+    for j in range(layers_down[0]):
+        p, s = _block3d(sd, f"{prefix}.layers_down.0.{j}")
+        params[f"down0_b{j}"] = p
+        stats[f"down0_b{j}"] = s
+    for i in range(1, len(layers_down)):
+        # Sequential: [0]=strided Conv3d, [1]=norm, [2]=Dropout, [3]=ReLU,
+        # [4+j]=BasicBlock3d
+        params[f"down{i}_conv"] = {"kernel": _conv3d(sd[f"{prefix}.layers_down.{i}.0.weight"])}
+        params[f"down{i}_norm"], stats[f"down{i}_norm"] = _bn(sd, f"{prefix}.layers_down.{i}.1")
+        for j in range(layers_down[i]):
+            p, s = _block3d(sd, f"{prefix}.layers_down.{i}.{4 + j}")
+            params[f"down{i}_b{j}"] = p
+            stats[f"down{i}_b{j}"] = s
+    for i in range(len(layers_up)):
+        params[f"up{i}_conv"] = {"kernel": _conv3d(sd[f"{prefix}.layers_up_conv.{i}.weight"])}
+        proj_p = {"conv": {"kernel": _conv3d(sd[f"{prefix}.proj.{i}.conv.weight"])}}
+        proj_p["norm"], proj_s = _bn(sd, f"{prefix}.proj.{i}.norm")
+        params[f"proj{i}"] = proj_p
+        stats[f"proj{i}"] = {"norm": proj_s}
+        for j in range(layers_up[i]):
+            p, s = _block3d(sd, f"{prefix}.layers_up_res.{i}.{j}")
+            params[f"up{i}_b{j}"] = p
+            stats[f"up{i}_b{j}"] = s
+    return params, stats
+
+
+def port_voxel_heads(sd: Dict, n_scales: int, prefix: str = "heads3d"):
+    """Reference VoxelHeads/TSDFHead decoders (heads3d.py:101-110:
+    heads.0.decoders.{i} = Conv3d(C, 1, 1, bias=False)) -> flax
+    tsdf_head/decoder_{i} Dense kernels."""
+    tsdf_head = {}
+    for i in range(n_scales):
+        w = np.asarray(sd[f"{prefix}.heads.0.decoders.{i}.weight"], np.float32)
+        tsdf_head[f"decoder_{i}"] = {"kernel": w.reshape(w.shape[:2]).T}  # (C, 1)
+    return {"tsdf_head": tsdf_head}
+
+
 def merge_params(model_params: dict, ported: dict) -> dict:
     """Replace subtrees of a flax param tree with ported values, checking
     key/shape agreement (shares utils/port_torch semantics)."""

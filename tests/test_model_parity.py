@@ -388,3 +388,210 @@ def test_export_round_trip(oracle_and_flax):
         np.testing.assert_array_almost_equal(
             exported[k], sd[k], decimal=6, err_msg=f"round-trip drift at {k}"
         )
+
+
+# ---------------------------------------------------------------------------
+# VoxelNet: backbone3d EncoderDecoder + VoxelHeads parity
+# ---------------------------------------------------------------------------
+
+
+class TBasicBlock3d(tnn.Module):
+    """Reference BasicBlock3d (backbone3d.py:56-95), eval-mode BN."""
+
+    def __init__(self, planes):
+        super().__init__()
+        self.conv1 = tnn.Conv3d(planes, planes, 3, 1, 1, bias=False)
+        self.bn1 = tnn.BatchNorm3d(planes)
+        self.conv2 = tnn.Conv3d(planes, planes, 3, 1, 1, bias=False)
+        self.bn2 = tnn.BatchNorm3d(planes)
+
+    def forward(self, x):
+        out = F.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        return F.relu(out + x)
+
+
+class TCondProj(tnn.Module):
+    def __init__(self, n):
+        super().__init__()
+        self.conv = tnn.Conv3d(n, n, 1, bias=False)
+        self.norm = tnn.BatchNorm3d(n)
+
+    def forward(self, x, y, mask):
+        x = self.conv(x)
+        m = mask.expand(-1, x.size(1), -1, -1, -1)
+        x = torch.where(m, x, y)
+        return F.relu(self.norm(x))
+
+
+class TEncoderDecoder(tnn.Module):
+    """Reference EncoderDecoder (backbone3d.py:134-208), reference attr
+    names for state_dict parity."""
+
+    def __init__(self, channels, layers_down, layers_up):
+        super().__init__()
+        downs = [tnn.Sequential(*[TBasicBlock3d(channels[0])
+                                  for _ in range(layers_down[0])])]
+        projs = [TCondProj(channels[0])]
+        for i in range(1, len(channels)):
+            layer = [tnn.Conv3d(channels[i - 1], channels[i], 3, 2, 1, bias=False),
+                     tnn.BatchNorm3d(channels[i]), tnn.Dropout(0.0), tnn.ReLU()]
+            layer += [TBasicBlock3d(channels[i]) for _ in range(layers_down[i])]
+            downs.append(tnn.Sequential(*layer))
+            if i < len(channels) - 1:
+                projs.append(TCondProj(channels[i]))
+        self.layers_down = tnn.ModuleList(downs)
+        self.proj = tnn.ModuleList(projs[::-1])
+        rev = channels[::-1]
+        self.layers_up_conv = tnn.ModuleList(
+            [tnn.Conv3d(rev[i - 1], rev[i], 1, bias=False) for i in range(1, len(rev))]
+        )
+        self.layers_up_res = tnn.ModuleList([
+            tnn.Sequential(*[TBasicBlock3d(rev[i]) for _ in range(layers_up[i - 1])])
+            for i in range(1, len(rev))
+        ])
+
+    def forward(self, x):
+        valid_mask = (x != 0).any(1, keepdim=True).float()
+        xs = []
+        for layer in self.layers_down:
+            x = layer(x)
+            xs.append(x)
+        xs = xs[::-1]
+        out = []
+        for i in range(len(self.layers_up_conv)):
+            x = F.interpolate(x, scale_factor=2, mode="trilinear", align_corners=False)
+            x = self.layers_up_conv[i](x)
+            scale = 1 / 2 ** (len(self.layers_up_conv) - i - 1)
+            mask = F.interpolate(valid_mask, scale_factor=scale) != 0
+            y = self.proj[i](xs[i + 1], x, mask)
+            x = (x + y) / 2
+            x = self.layers_up_res[i](x)
+            out.append(x)
+        return out
+
+
+class TVoxelNetHead(tnn.Module):
+    """Container matching reference heads3d.py names (heads.0.decoders.i)."""
+
+    class _TSDF(tnn.Module):
+        def __init__(self, channels):
+            super().__init__()
+            self.decoders = tnn.ModuleList(
+                [tnn.Conv3d(c, 1, 1, bias=False) for c in channels[:-1]][::-1]
+            )
+
+    def __init__(self, channels):
+        super().__init__()
+        self.heads = tnn.ModuleList([self._TSDF(channels)])
+
+
+def t_log_transform(x, shift=1.0):
+    return x.sign() * (1 + x.abs() / shift).log()
+
+
+def t_tsdf_head_forward(head, xs, voxel_sizes, targets=None,
+                        label_smoothing=1.05, sparse_threshold=(0.99, 0.99, 0.99)):
+    """Reference TSDFHead.forward (heads3d.py:112-176), loss_split='pred'."""
+    output, losses, mask_surface_pred = {}, {}, []
+    decoders = head.heads[0].decoders
+    for i, (decoder, x) in enumerate(zip(decoders, xs)):
+        tsdf = torch.tanh(decoder(x)) * label_smoothing
+        if i > 0:
+            prev = F.interpolate(output["vol_%02d_tsdf" % voxel_sizes[i - 1]],
+                                 scale_factor=2)
+            m = prev.abs() < sparse_threshold[i - 1]
+            tsdf = torch.where(m, tsdf, prev.sign() * 0.999)
+            mask_surface_pred.append(m)
+        output["vol_%02d_tsdf" % voxel_sizes[i]] = tsdf
+    if targets is not None:
+        for i, vs in enumerate(voxel_sizes):
+            key = "vol_%02d_tsdf" % vs
+            pred, trgt = output[key], targets[key]
+            mask_observed = trgt < 1
+            mask_outside = (trgt == 1).all(-1, keepdim=True)
+            pred, trgt = t_log_transform(pred), t_log_transform(trgt)
+            loss = (pred - trgt).abs()
+            wanted = mask_observed | mask_outside
+            if i > 0:
+                wanted = wanted & mask_surface_pred[i - 1]
+            losses[key + "_loss"] = (loss[wanted].mean() if wanted.sum() > 0
+                                     else 0 * loss.sum())
+    return output, losses
+
+
+def test_voxel_net_backbone_and_heads_parity(rng):
+    """Random-init torch backbone3d + heads ported into flax must reproduce
+    the multi-scale volumes and the sparsified masked log-L1 losses."""
+    import jax
+    from gennerf_tpu.models.backbone3d import EncoderDecoder
+    from gennerf_tpu.models.heads import VoxelHeads
+    from gennerf_tpu.utils.port_gen_nerf import port_backbone3d, port_voxel_heads
+    from gennerf_tpu.utils.port_torch import _merge_checked
+
+    channels, layers_down, layers_up = [4, 8, 16], [1, 2, 2], [2, 2]
+    torch.manual_seed(5)
+    tb = TEncoderDecoder(channels, layers_down, layers_up)
+    th = TVoxelNetHead(channels)
+    with torch.no_grad():
+        for p in tb.parameters():
+            p.normal_(0.0, 0.3)
+        for p in th.parameters():
+            p.normal_(0.0, 0.3)
+        for m in tb.modules():
+            if isinstance(m, tnn.BatchNorm3d):
+                m.running_mean.normal_(0.0, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
+    tb.eval(), th.eval()
+
+    B, nx, ny, nz = 1, 16, 16, 8
+    vol = rng.standard_normal((B, 4, nx, ny, nz)).astype(np.float32)
+    vol[:, :, :4] = 0.0  # unobserved region exercises the conditional skip
+    voxel_sizes = [16, 8]  # final 8cm, 2 scales, coarse first
+    targets_np = {
+        "vol_%02d_tsdf" % v: np.clip(
+            rng.standard_normal((B, 1, nx // (v // 8), ny // (v // 8),
+                                 nz // (v // 8))).astype(np.float32), -1, 1)
+        for v in voxel_sizes
+    }
+    # make some columns fully 'outside' (== 1)
+    targets_np["vol_08_tsdf"][:, :, :2] = 1.0
+
+    with torch.no_grad():
+        txs = tb(torch.from_numpy(vol))
+        tout, tloss = t_tsdf_head_forward(
+            th, txs, voxel_sizes, {k: torch.from_numpy(v) for k, v in targets_np.items()}
+        )
+
+    fb = EncoderDecoder(channels=channels, layers_down=layers_down,
+                        layers_up=layers_up, norm="BN")
+    fvars = fb.init(jax.random.PRNGKey(0), jnp.asarray(vol), train=False)
+    sd = {"backbone3d." + k: v.detach().numpy() for k, v in tb.state_dict().items()}
+    pp, ps = port_backbone3d(sd, layers_down, layers_up)
+    params = jax.tree.map(np.asarray, fvars["params"])
+    stats = jax.tree.map(np.asarray, fvars["batch_stats"])
+    _merge_checked(params, pp)
+    _merge_checked(stats, ps)
+    fxs = fb.apply({"params": params, "batch_stats": stats}, jnp.asarray(vol),
+                   train=False)
+    assert len(fxs) == len(txs)  # up-path outputs, coarse -> fine
+    for fx, tx in zip(fxs, txs):
+        np.testing.assert_allclose(np.asarray(fx), tx.numpy(), rtol=1e-4, atol=1e-4)
+
+    fh = VoxelHeads(channels=channels, voxel_size=0.08)
+    hvars = fh.init(jax.random.PRNGKey(0), [jnp.asarray(x.numpy()) for x in txs], None)
+    hsd = {"heads3d." + k: v.detach().numpy() for k, v in th.state_dict().items()}
+    hp = port_voxel_heads(hsd, n_scales=len(channels) - 1)
+    hparams = jax.tree.map(np.asarray, hvars["params"])
+    _merge_checked(hparams, hp)
+    fout, floss = fh.apply(
+        {"params": hparams},
+        [jnp.asarray(x.numpy()) for x in txs],
+        {k: jnp.asarray(v) for k, v in targets_np.items()},
+    )
+    for k in tout:
+        np.testing.assert_allclose(np.asarray(fout[k]), tout[k].numpy(),
+                                   rtol=1e-4, atol=1e-4, err_msg=k)
+    for k in tloss:
+        np.testing.assert_allclose(float(floss[k]), float(tloss[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
