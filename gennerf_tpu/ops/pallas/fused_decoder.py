@@ -340,6 +340,23 @@ def fused_grid_decode(
         (nx, ny, nz) float32 TSDF.
     """
     nx, ny, nz = (int(d) for d in voxel_dim)
+    tables = _grid_tables(
+        plane_xz, plane_xy, plane_yz, origin, weights,
+        voxel_dim=(nx, ny, nz), voxel_size=voxel_size, num_freqs=num_freqs,
+        freq_factor=freq_factor, include_input=include_input, padding=padding,
+    )
+    out = _grid_kernel_call(
+        *tables, weights, n_blocks=n_blocks, tj=tj, interpret=interpret,
+    )
+    return out.reshape(nx, ny, nz)
+
+
+def _grid_tables(plane_xz, plane_xy, plane_yz, origin, weights, *, voxel_dim,
+                 voxel_size, num_freqs, freq_factor, include_input, padding):
+    """Resampled plane slices + PE axis tables (lane-padded) for the grid
+    kernel: (p_yz (ny*nz, Cp), p_xz (nx, nz, Cp), p_xy (nx, ny, Cp),
+    t_x (nx, 1, Dp), t_y (ny, Dp), t_z (nz, Dp))."""
+    nx, ny, nz = voxel_dim
     reso = plane_xz.shape[-1]
     d_in_p = weights["w_in"].shape[0]
     d_code_p = weights["wz"].shape[1]
@@ -372,7 +389,73 @@ def fused_grid_decode(
     )
     t_x = t_x[:, None, :]  # (nx, 1, Dp): Mosaic needs the last-two block
     # dims divisible by (8, 128) or equal to the array dims; (1, Dp) == array
+    return p_yz, p_xz, p_xy, t_x, t_y, t_z
 
+
+def fused_grid_decode_sharded(
+    plane_xz: jnp.ndarray,
+    plane_xy: jnp.ndarray,
+    plane_yz: jnp.ndarray,
+    origin: jnp.ndarray,
+    weights: dict,
+    mesh,
+    *,
+    voxel_dim,
+    voxel_size: float,
+    n_blocks: int,
+    num_freqs: int,
+    freq_factor: float,
+    include_input: bool,
+    padding: float,
+    tj: int,
+    axis_name: str = "data",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Multi-chip dense decode: the x-axis of the grid shards over the mesh
+    (P_xz/P_xy/T_x split on axis 0, P_yz/T_y/T_z + weights replicated), each
+    device runs the grid kernel on its slab — embarrassingly parallel, zero
+    collectives (the decode has no cross-point interaction, SURVEY §2.3)."""
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    nx, ny, nz = (int(d) for d in voxel_dim)
+    n_dev = mesh.shape[axis_name]
+    if nx % n_dev != 0:
+        raise NotImplementedError(f"nx={nx} not divisible by {n_dev} devices")
+
+    tables = _grid_tables(
+        plane_xz, plane_xy, plane_yz, origin, weights,
+        voxel_dim=(nx, ny, nz), voxel_size=voxel_size, num_freqs=num_freqs,
+        freq_factor=freq_factor, include_input=include_input, padding=padding,
+    )
+
+    def local(p_yz, p_xz, p_xy, t_x, t_y, t_z, w):
+        return _grid_kernel_call(
+            p_yz, p_xz, p_xy, t_x, t_y, t_z, w,
+            n_blocks=n_blocks, tj=tj, interpret=interpret,
+        )
+
+    sharded = P(axis_name)
+    repl = P()
+    out = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(repl, sharded, sharded, sharded, repl, repl,
+                  jax.tree.map(lambda _: repl, weights)),
+        out_specs=sharded,
+        check_rep=False,
+    )(*tables, weights)
+    return out.reshape(nx, ny, nz)
+
+
+def _grid_kernel_call(p_yz, p_xz, p_xy, t_x, t_y, t_z, weights, *,
+                      n_blocks: int, tj: int, interpret: bool) -> jnp.ndarray:
+    """One pallas launch over an (nx, ny, nz) sub-grid. nx comes from the
+    tables (x-sharded callers pass their local slice of P_xz/P_xy/T_x and
+    the full P_yz/T_y/T_z)."""
+    nx, nz, d_in_p = p_xz.shape
+    ny = p_xy.shape[1]
+    d_code_p = t_z.shape[-1]
     n_j = ny // tj
     tile = tj * nz
     H = weights["w_in"].shape[1]
@@ -409,7 +492,7 @@ def fused_grid_decode(
         + H * d_out_p
         + d_out_p * 128
     )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_grid_kernel, n_blocks=n_blocks, tj=tj, nz=nz),
         out_shape=jax.ShapeDtypeStruct((n_pts,), jnp.float32),
         grid_spec=grid_spec,
@@ -425,4 +508,3 @@ def fused_grid_decode(
         weights["w0"], weights["b0"], weights["w1"], weights["b1"],
         weights["w_out"], weights["b_out"], weights["w_head"], weights["alpha"],
     )
-    return out.reshape(nx, ny, nz)

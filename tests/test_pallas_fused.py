@@ -220,3 +220,50 @@ class TestSeparableGridDecode:
         assert pick_grid_tile(416, 128) == 32  # test grid
         assert pick_grid_tile(16, 8) == 16     # tiny test grid: 128 pts
         assert pick_grid_tile(7, 5) is None    # no aligned tile -> fallback
+
+
+def test_sharded_grid_decode_matches_single(rng):
+    """x-axis-sharded grid decode over the 8-device mesh == single-device
+    kernel output exactly (interpret mode)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from gennerf_tpu.models.heads import TSDFHeadSimple
+    from gennerf_tpu.models.resnetfc import ResnetFC
+    from gennerf_tpu.ops.pallas.fused_decoder import (
+        extract_resnetfc_weights,
+        fused_grid_decode,
+        fused_grid_decode_sharded,
+    )
+
+    d_in, d_code, H, n_blocks, reso = 8, 39, 32, 2, 16
+    mlp = ResnetFC(d_in=d_in, d_out=9, n_blocks=n_blocks, d_latent=d_code,
+                   d_hidden=H, dtype=jnp.bfloat16)
+    head = TSDFHeadSimple()
+    zx = jnp.asarray(rng.standard_normal((4, d_in + d_code)).astype(np.float32))
+    mv = mlp.init(jax.random.PRNGKey(0), zx)
+    out = mlp.apply(mv, zx)
+    hv = head.init(jax.random.PRNGKey(1), out[:, :8])
+    hv = {"params": {"Dense_0": {
+        "kernel": 0.1 * jax.random.normal(jax.random.PRNGKey(2),
+                                          hv["params"]["Dense_0"]["kernel"].shape),
+        "bias": jnp.zeros_like(hv["params"]["Dense_0"]["bias"])}}}
+    weights = extract_resnetfc_weights(
+        jax.tree.map(np.asarray, mv["params"]),
+        jax.tree.map(np.asarray, hv["params"]), n_blocks, 8,
+    )
+    planes = {k: jnp.asarray(rng.standard_normal((d_in, reso, reso)).astype(np.float32))
+              for k in ("xz", "xy", "yz")}
+    kw = dict(voxel_dim=(16, 16, 8), voxel_size=0.08, n_blocks=n_blocks,
+              num_freqs=6, freq_factor=0.5, include_input=True, padding=0.1,
+              tj=16, interpret=True)
+    origin = jnp.asarray([0.02, -0.05, 0.01], jnp.float32)
+    single = fused_grid_decode(planes["xz"], planes["xy"], planes["yz"],
+                               origin, weights, **kw)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    sharded = fused_grid_decode_sharded(planes["xz"], planes["xy"], planes["yz"],
+                                        origin, weights, mesh, **kw)
+    # the unsharded path builds its tables inside jit, the sharded one
+    # eagerly — f32 reassociation differences of ~1e-4 are expected
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               atol=1e-3)
