@@ -41,6 +41,10 @@ class PointnetConfig:
     # unchanged. Perf-motivated delta vs the reference (which runs FPS on
     # the full 307k-point cloud).
     fps_presample: int = 16384
+    # 'fps' (reference parity) | 'voxel_hash' (fully parallel, no
+    # sequential loop — ops/sampling.voxel_hash_downsample; a documented
+    # distribution delta that removes FPS's npoint sequential iterations)
+    sparsifier: str = "fps"
     c_dim: int = 32
     dim: int = 3
     padding: float = 0.1

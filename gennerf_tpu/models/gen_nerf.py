@@ -202,7 +202,12 @@ class GenNerf(nn.Module):
                     k_pre, (xyz.shape[0], presample), 0, xyz.shape[1]
                 )
                 xyz = jnp.take_along_axis(xyz, sel[..., None], axis=1)
-            sparse, _ = farthest_point_sample(key, xyz, npoint)  # (B*T, npoint, 3)
+            if enc.pointnet.sparsifier == "voxel_hash":
+                from ..ops.sampling import voxel_hash_downsample
+
+                sparse, _ = voxel_hash_downsample(key, xyz, npoint)
+            else:
+                sparse, _ = farthest_point_sample(key, xyz, npoint)  # (B*T, npoint, 3)
             accum = sparse.reshape(B, T, npoint, 3).reshape(B, T * npoint, 3)
             planes = self.pointnet(accum)
 

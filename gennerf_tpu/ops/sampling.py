@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 # ---------------------------------------------------------------------------
@@ -198,6 +199,46 @@ def farthest_point_sample(key, xyz: jnp.ndarray, npoint: int):
     _, _, centroids = jax.lax.fori_loop(0, npoint, body, init)
     sampled = jnp.take_along_axis(xyz, centroids[..., None].astype(jnp.int32), axis=1)
     return sampled, centroids
+
+
+def voxel_hash_downsample(key, xyz: jnp.ndarray, npoint: int):
+    """Voxel-hash sparsification: one random representative per occupied
+    cell of an AABB-fitted grid, padded to `npoint` with uniform resamples.
+
+    Fully parallel alternative to `farthest_point_sample` (SURVEY §7: the
+    FPS fori_loop is npoint sequential steps and dominates the training
+    step's latency on TPU); selected via `pointnet.sparsifier='voxel_hash'`.
+    Coverage is FPS-like (spread over the cloud) but the exact point set is
+    a distribution delta vs the reference's FPS — documented, opt-in.
+
+    Args:
+        xyz: (B, N, 3).
+        npoint: static output count.
+
+    Returns:
+        sampled_xyz (B, npoint, 3), indices (B, npoint) int32.
+    """
+    B, N, _ = xyz.shape
+    # grid sized so occupied cells comfortably exceed npoint on real scenes
+    res = max(int(np.ceil(npoint ** (1.0 / 3.0) * 2.0)), 2)
+    lo = xyz.min(axis=1, keepdims=True)
+    hi = xyz.max(axis=1, keepdims=True)
+    cell = jnp.clip(((xyz - lo) / jnp.maximum(hi - lo, 1e-6) * res), 0, res - 1).astype(jnp.int32)
+    ids = (cell[..., 0] * res + cell[..., 1]) * res + cell[..., 2]  # (B, N)
+
+    # sort by (cell, random) so each cell's representative is random; then
+    # first-in-cell flags become the selection scores
+    rnd = jax.random.uniform(key, (B, N))
+    order = jnp.argsort(ids.astype(jnp.float32) + rnd * 0.5, axis=1)
+    ids_sorted = jnp.take_along_axis(ids, order, axis=1)
+    first = jnp.concatenate(
+        [jnp.ones((B, 1), bool), ids_sorted[:, 1:] != ids_sorted[:, :-1]], axis=1
+    )
+    # rank occupied-cell representatives first, random backfill after
+    score = first.astype(jnp.float32) + rnd * 1e-3
+    _, top = jax.lax.top_k(score, npoint)  # (B, npoint) positions in sorted order
+    idx = jnp.take_along_axis(order, top, axis=1).astype(jnp.int32)
+    return jnp.take_along_axis(xyz, idx[..., None], axis=1), idx
 
 
 # ---------------------------------------------------------------------------

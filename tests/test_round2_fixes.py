@@ -222,3 +222,30 @@ class TestVoxelHashDownsample:
         b.vertices = (g + 0.01).astype(np.float32)
         out = eval_mesh(a, b, threshold=0.05)
         assert out["prec"] == 1.0 and out["recal"] == 1.0 and out["fscore"] == 1.0
+
+
+class TestVoxelHashSparsifier:
+    def test_coverage_and_shape(self, rng):
+        from gennerf_tpu.ops.sampling import voxel_hash_downsample
+
+        # clustered cloud: 3 blobs -> representatives must cover all blobs
+        blobs = [np.array([0, 0, 0]), np.array([2, 0, 1]), np.array([-1, 2, 0.5])]
+        pts = np.concatenate([
+            b + 0.05 * rng.standard_normal((500, 3)) for b in blobs
+        ]).astype(np.float32)[None]
+        sampled, idx = voxel_hash_downsample(jax.random.PRNGKey(0), jnp.asarray(pts), 64)
+        assert sampled.shape == (1, 64, 3) and idx.shape == (1, 64)
+        s = np.asarray(sampled[0])
+        for b in blobs:
+            assert (np.linalg.norm(s - b, axis=1) < 0.3).any(), f"blob {b} missed"
+        # spread: far fewer duplicates than a uniform draw of one blob
+        assert len(np.unique(np.asarray(idx[0]))) >= 60
+
+    def test_encode_with_voxel_hash(self, rng):
+        cfg = _tiny_cfg()
+        cfg["encoder"]["pointnet"]["sparsifier"] = "voxel_hash"
+        task = GenNerfTask(cfg)
+        batch = _batch(rng)
+        state = task.init_state(jax.random.PRNGKey(0), batch)
+        state2, metrics = task.run_train_step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["combined"]))
