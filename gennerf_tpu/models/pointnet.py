@@ -102,22 +102,34 @@ class LocalPoolPointnet(nn.Module):
                             num_levels=self.unet3d_num_levels, name="unet3d")
 
         fea = {}
-        for plane in self.plane_type:
-            if plane == "grid":
-                g = segment_mean(c, index[plane], grid_reso**3)  # (B, r^3, C)
-                B = p.shape[0]
-                # flat index = x0 + r*(x1 + r*x2) -> reshape (z-major) then
-                # transpose to (B, C, x, y, z)
-                vol = g.reshape(B, grid_reso, grid_reso, grid_reso, self.c_dim)
-                vol = vol.transpose(0, 4, 3, 2, 1)  # (B, C, x0, x1, x2)
-                if unet3d is not None:
-                    vol = unet3d(vol)
-                fea[plane] = vol
-                continue
-            plane_fea = scatter_to_plane(c, index[plane], reso, reduce="mean")
+        flat_planes = [pl for pl in self.plane_type if pl != "grid"]
+        if "grid" in self.plane_type:
+            g = segment_mean(c, index["grid"], grid_reso**3)  # (B, r^3, C)
+            B = p.shape[0]
+            # flat index = x0 + r*(x1 + r*x2) -> reshape (z-major) then
+            # transpose to (B, C, x, y, z)
+            vol = g.reshape(B, grid_reso, grid_reso, grid_reso, self.c_dim)
+            vol = vol.transpose(0, 4, 3, 2, 1)  # (B, C, x0, x1, x2)
+            if unet3d is not None:
+                vol = unet3d(vol)
+            fea["grid"] = vol
+        if flat_planes:
+            scattered = [
+                scatter_to_plane(c, index[pl], reso, reduce="mean")
+                for pl in flat_planes
+            ]
             if unet is not None:
-                plane_fea = unet(plane_fea)
-            fea[plane] = plane_fea
+                # ONE batched U-Net pass over all planes (the weights are
+                # shared, reference pointnet.py:50; a (3B, C, r, r) batch
+                # tiles the convs onto the MXU far better than 3x B=1)
+                B = p.shape[0]
+                stacked = jnp.concatenate(scattered, axis=0)  # (3B, C, r, r)
+                smoothed = unet(stacked)
+                scattered = [
+                    smoothed[i * B : (i + 1) * B] for i in range(len(flat_planes))
+                ]
+            for pl, f in zip(flat_planes, scattered):
+                fea[pl] = f
         return fea
 
 
