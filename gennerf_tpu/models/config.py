@@ -45,6 +45,14 @@ class PointnetConfig:
     # sequential loop — ops/sampling.voxel_hash_downsample; a documented
     # distribution delta that removes FPS's npoint sequential iterations)
     sparsifier: str = "fps"
+    # Map world coordinates into ConvONet's expected ~[-0.5, 0.5] cube
+    # (centered on the training volume) before the pointnet scatter and the
+    # triplane sampling. The reference feeds RAW world coords (meters) into
+    # normalize_coordinate (model.py:131-161), which clamps ~93% of a
+    # real-scale scene onto the plane border and collapses the triplane
+    # signal — measurably, the training loss becomes encoder-independent
+    # after one step. Off by default for strict reference parity.
+    normalize_coords: bool = False
     c_dim: int = 32
     dim: int = 3
     padding: float = 0.1

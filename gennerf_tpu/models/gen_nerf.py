@@ -115,6 +115,21 @@ class GenNerf(nn.Module):
         )
         self.head_geo = TSDFHeadSimple()
 
+    def _plane_coords(self, xyz: jnp.ndarray) -> jnp.ndarray:
+        """World points -> the coordinate frame the triplane operations see.
+
+        With pointnet.normalize_coords, the TRAINING volume maps to the
+        ~[-0.5, 0.5] cube ConvONet's normalize_coordinate expects (fixes the
+        reference flaw of feeding raw meters, which clamps most of the
+        scene onto the plane border); otherwise identity (reference parity).
+        """
+        p = self.cfg.encoder.pointnet
+        if not p.normalize_coords:
+            return xyz
+        extent = jnp.asarray(self.cfg.voxel_dim_train, jnp.float32) * self.cfg.voxel_size
+        scale = jnp.max(extent)
+        return (xyz - extent / 2.0) / scale
+
     # -- encoder -------------------------------------------------------------
     def encode(
         self,
@@ -209,7 +224,7 @@ class GenNerf(nn.Module):
             else:
                 sparse, _ = farthest_point_sample(key, xyz, npoint)  # (B*T, npoint, 3)
             accum = sparse.reshape(B, T, npoint, 3).reshape(B, T * npoint, 3)
-            planes = self.pointnet(accum)
+            planes = self.pointnet(self._plane_coords(accum))
 
         return SceneRepr(volume=volume, valid=valid, planes=planes)
 
@@ -229,10 +244,11 @@ class GenNerf(nn.Module):
         feats = []
         if cfg.encoder.use_pointnet and repr.planes is not None:
             p = cfg.encoder.pointnet
+            xyz_pn = self._plane_coords(xyz)
             feat_pn = 0.0
             if "grid" in repr.planes:
                 # ConvONet grid variant: trilinear sample of the feature grid
-                p_nor = normalize_3d_coordinate(xyz, padding=p.padding)
+                p_nor = normalize_3d_coordinate(xyz_pn, padding=p.padding)
                 vol_cl = repr.planes["grid"].transpose(0, 2, 3, 4, 1)
                 grid_reso = vol_cl.shape[1]
                 feat_pn += trilinear_interpolation(
@@ -240,7 +256,7 @@ class GenNerf(nn.Module):
                 )
             for plane in ("xz", "xy", "yz"):
                 if plane in repr.planes:
-                    coords = normalize_coordinate(xyz, padding=p.padding, plane=plane)
+                    coords = normalize_coordinate(xyz_pn, padding=p.padding, plane=plane)
                     feat_pn += sample_plane_feature(repr.planes[plane], coords, mode=p.sample_mode)
             feats.append(feat_pn)
         if repr.volume is not None:

@@ -311,7 +311,8 @@ def pick_grid_tile(ny: int, nz: int, max_points: int = 4096):
 
 @functools.partial(jax.jit, static_argnames=(
     "voxel_dim", "voxel_size", "n_blocks", "num_freqs", "freq_factor",
-    "include_input", "padding", "tj", "interpret"))
+    "include_input", "padding", "tj", "interpret", "coord_center",
+    "coord_scale"))
 def fused_grid_decode(
     plane_xz: jnp.ndarray,
     plane_xy: jnp.ndarray,
@@ -328,6 +329,8 @@ def fused_grid_decode(
     padding: float,
     tj: int,
     interpret: bool = False,
+    coord_center=None,
+    coord_scale=None,
 ) -> jnp.ndarray:
     """Dense TSDF volume via the separable grid kernel.
 
@@ -344,6 +347,7 @@ def fused_grid_decode(
         plane_xz, plane_xy, plane_yz, origin, weights,
         voxel_dim=(nx, ny, nz), voxel_size=voxel_size, num_freqs=num_freqs,
         freq_factor=freq_factor, include_input=include_input, padding=padding,
+        coord_center=coord_center, coord_scale=coord_scale,
     )
     out = _grid_kernel_call(
         *tables, weights, n_blocks=n_blocks, tj=tj, interpret=interpret,
@@ -352,10 +356,15 @@ def fused_grid_decode(
 
 
 def _grid_tables(plane_xz, plane_xy, plane_yz, origin, weights, *, voxel_dim,
-                 voxel_size, num_freqs, freq_factor, include_input, padding):
+                 voxel_size, num_freqs, freq_factor, include_input, padding,
+                 coord_center=None, coord_scale=None):
     """Resampled plane slices + PE axis tables (lane-padded) for the grid
     kernel: (p_yz (ny*nz, Cp), p_xz (nx, nz, Cp), p_xy (nx, ny, Cp),
-    t_x (nx, 1, Dp), t_y (ny, Dp), t_z (nz, Dp))."""
+    t_x (nx, 1, Dp), t_y (ny, Dp), t_z (nz, Dp)).
+
+    coord_center/coord_scale: optional affine map applied to the PLANE
+    coordinates only (GenNerf.pointnet.normalize_coords); the PE tables
+    always use raw world coordinates, matching GenNerf.decode."""
     nx, ny, nz = voxel_dim
     reso = plane_xz.shape[-1]
     d_in_p = weights["w_in"].shape[0]
@@ -368,7 +377,13 @@ def _grid_tables(plane_xz, plane_xy, plane_yz, origin, weights, *, voxel_dim,
         jnp.linspace(0.0, voxel_size * n, n, dtype=f32) + origin[a]
         for a, n in enumerate((nx, ny, nz))
     ]
-    ws = [_resample_matrix(_normalize_axis(c, padding), reso) for c in axes]
+    if coord_center is not None:
+        plane_axes = [
+            (c - coord_center[a]) / coord_scale for a, c in enumerate(axes)
+        ]
+    else:
+        plane_axes = axes
+    ws = [_resample_matrix(_normalize_axis(c, padding), reso) for c in plane_axes]
 
     def padc(a):
         return jnp.pad(a, ((0, 0), (0, 0), (0, d_in_p - a.shape[-1])))
@@ -410,6 +425,8 @@ def fused_grid_decode_sharded(
     tj: int,
     axis_name: str = "data",
     interpret: bool = False,
+    coord_center=None,
+    coord_scale=None,
 ) -> jnp.ndarray:
     """Multi-chip dense decode: the x-axis of the grid shards over the mesh
     (P_xz/P_xy/T_x split on axis 0, P_yz/T_y/T_z + weights replicated), each
@@ -427,6 +444,7 @@ def fused_grid_decode_sharded(
         plane_xz, plane_xy, plane_yz, origin, weights,
         voxel_dim=(nx, ny, nz), voxel_size=voxel_size, num_freqs=num_freqs,
         freq_factor=freq_factor, include_input=include_input, padding=padding,
+        coord_center=coord_center, coord_scale=coord_scale,
     )
 
     def local(p_yz, p_xz, p_xy, t_x, t_y, t_z, w):

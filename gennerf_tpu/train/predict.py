@@ -149,6 +149,11 @@ def decode_grid_fused(
     if weights["dims"][0] != planes["xz"].shape[1]:
         raise NotImplementedError("decoder latent != triplane channels")
 
+    coord_center = coord_scale = None
+    if cfg.encoder.pointnet.normalize_coords:
+        extent = [d * cfg.voxel_size for d in cfg.voxel_dim_train]
+        coord_center = tuple(e / 2.0 for e in extent)
+        coord_scale = float(max(extent))
     return fused_grid_decode(
         planes["xz"][0], planes["xy"][0], planes["yz"][0],
         origin, weights,
@@ -161,6 +166,8 @@ def decode_grid_fused(
         padding=float(cfg.encoder.pointnet.padding),
         tj=tj,
         interpret=interpret,
+        coord_center=coord_center,
+        coord_scale=coord_scale,
     )
 
 

@@ -249,3 +249,74 @@ class TestVoxelHashSparsifier:
         state = task.init_state(jax.random.PRNGKey(0), batch)
         state2, metrics = task.run_train_step(state, batch, jax.random.PRNGKey(1))
         assert np.isfinite(float(metrics["combined"]))
+
+
+class TestNormalizeCoords:
+    """pointnet.normalize_coords: the reference feeds raw world meters into
+    ConvONet's unit-cube normalize_coordinate, clamping most of a real-scale
+    scene onto the triplane border (the training loss becomes
+    encoder-independent). With normalization, the triplane signal must
+    influence the loss everywhere in the volume."""
+
+    def _loss(self, rng_seed, normalize, perturb_planes):
+        import jax.numpy as jnp
+        from gennerf_tpu.models.gen_nerf import GenNerf, SceneRepr
+
+        cfg = _tiny_cfg()
+        # realistic scale: 3.2m x 3.2m x 1.6m volume, coords in [0, 3.2]
+        cfg["voxel_size"] = 0.2
+        cfg["encoder"]["pointnet"]["normalize_coords"] = normalize
+        task = GenNerfTask(cfg)
+        rng = np.random.default_rng(rng_seed)
+        batch = _batch(rng)
+        state = task.init_state(jax.random.PRNGKey(0), batch)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        # decode at points spread over the REAL volume
+        xyz = jnp.asarray(rng.uniform(0.5, 3.0, (1, 64, 3)).astype(np.float32))
+        planes = {k: jnp.asarray(rng.standard_normal((1, 8, 16, 16)).astype(np.float32))
+                  for k in ("xz", "xy", "yz")}
+        if perturb_planes:
+            planes = {k: v + 1.0 for k, v in planes.items()}
+        repr_ = SceneRepr(volume=None, valid=None, planes=planes)
+        out = task.model.apply(variables, repr_, xyz, jnp.zeros(3),
+                               method=GenNerf.decode)
+        return float(np.abs(np.asarray(out["tsdf"])).sum())
+
+    def test_planes_influence_decode_only_when_normalized(self):
+        # raw coords: points at 0.5-3.0m clamp onto the plane border cell,
+        # so perturbing the plane interior barely moves the output...
+        raw_a = self._loss(0, False, False)
+        raw_b = self._loss(0, False, True)
+        # ...while normalized coords see the perturbation everywhere
+        nrm_a = self._loss(0, True, False)
+        nrm_b = self._loss(0, True, True)
+        assert abs(nrm_b - nrm_a) > 5 * abs(raw_b - raw_a), (
+            raw_a, raw_b, nrm_a, nrm_b)
+
+    def test_fused_grid_decode_matches_xla_with_normalized_coords(self, rng):
+        import jax.numpy as jnp
+        from gennerf_tpu.models.gen_nerf import GenNerf
+        from gennerf_tpu.train.predict import (
+            decode_dense, decode_grid_fused, dense_grid_points,
+        )
+
+        cfg = _tiny_cfg()
+        cfg["encoder"]["pointnet"]["normalize_coords"] = True
+        task = GenNerfTask(cfg)
+        batch = _batch(rng)
+        state = task.init_state(jax.random.PRNGKey(0), batch)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        repr_, _ = task.model.apply(
+            variables, jnp.asarray(batch["projection"]), jnp.asarray(batch["image"]),
+            jnp.asarray(batch["depth"]), jax.random.PRNGKey(0), (16, 16, 8),
+            jnp.zeros(3), train=False, method=GenNerf.encode, mutable=["batch_stats"],
+        )
+        vd = (16, 16, 8)
+        origin = jnp.zeros(3, jnp.float32)
+        fused = decode_grid_fused(task.model, variables, repr_, vd, 0.08,
+                                  origin, interpret=True)
+        pts = dense_grid_points(vd, 0.08, np.zeros(3))
+        ref = decode_dense(task.model, variables, repr_, pts, origin).reshape(vd)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=4e-2)
+        c = np.corrcoef(np.asarray(fused).ravel(), np.asarray(ref).ravel())[0, 1]
+        assert c > 0.999
