@@ -177,7 +177,12 @@ class ScannetDataModule:
 
     def choose_dataset(self, mode: str):
         c = self.cfg
-        rng = LockedGenerator(np.random.default_rng(self.seed + hash(mode) % 1000))
+        # stable per-mode stream: python hash() is randomized per process
+        # (PYTHONHASHSEED), which silently broke run-to-run reproducibility
+        import zlib
+
+        mode_salt = zlib.crc32(mode.encode()) % 1000
+        rng = LockedGenerator(np.random.default_rng(self.seed + mode_salt))
         transform = self.get_transform(mode, rng)
         dtype = c.get("dataset_type", "sequences")
         from_archive = c.get("from_archive", False)

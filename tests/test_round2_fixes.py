@@ -320,3 +320,44 @@ class TestNormalizeCoords:
         np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=4e-2)
         c = np.corrcoef(np.asarray(fused).ravel(), np.asarray(ref).ravel())[0, 1]
         assert c > 0.999
+
+
+class TestSeedReproducibility:
+    def test_data_order_stable_across_hash_randomization(self, tmp_path):
+        """Dataset RNG streams must not depend on python's per-process hash
+        randomization (the old seed mixed in hash(mode))."""
+        import subprocess
+        import sys
+
+        from gennerf_tpu.data.synthetic import generate_scene
+
+        root = str(tmp_path / "s")
+        generate_scene(root, num_frames=6, H=32, W=40, voxel_sizes=(16,))
+        snippet = f"""
+import sys; sys.path.insert(0, {repr('/root/repo')})
+import jax; jax.config.update('jax_platforms', 'cpu')
+from gennerf_tpu.data.datamodule import ScannetDataModule
+cfg = {{"data_dir": {root!r},
+ "datasets_train": ["scans/scene_synth0/info.json"],
+ "datasets_val": ["scans/scene_synth0/info.json"],
+ "datasets_test": ["scans/scene_synth0/info.json"],
+ "dataset_type": "sequences", "sequence_amount_train": 1.0,
+ "sequence_amount_val": 1.0, "sequence_amount_test": 1.0,
+ "sequence_length": 6, "sequence_locations": "free", "sequence_order": "random",
+ "num_frames_train": 3, "num_frames_val": 3, "num_frames_test": 3,
+ "frame_locations": "random", "frame_order": "random", "batch_size": 1,
+ "voxel_size": 0.16, "voxel_dim_train": [20,20,10], "voxel_dim_val": [20,20,10],
+ "voxel_dim_test": [20,20,10], "voxel_types": ["tsdf"], "from_archive": False,
+ "num_workers": 0}}
+dm = ScannetDataModule(cfg, seed=7)
+b = next(iter(dm.train_dataloader()))
+print("SIG", float(b["depth"].sum()), float(b["pose"].sum()))
+"""
+        sigs = []
+        for hs in ("1", "31337"):
+            env = dict(__import__("os").environ, PYTHONHASHSEED=hs)
+            out = subprocess.run([sys.executable, "-c", snippet], env=env,
+                                 capture_output=True, text=True, timeout=600)
+            assert out.returncode == 0, out.stderr[-2000:]
+            sigs.append([l for l in out.stdout.splitlines() if l.startswith("SIG")][0])
+        assert sigs[0] == sigs[1], sigs
