@@ -234,3 +234,64 @@ class TestPredictCli:
 
         t = TSDF.load(os.path.join(out, "scene_synth0.npz"))
         assert np.asarray(t.tsdf_vol).shape == (40, 40, 20)
+
+
+@pytest.mark.slow
+class TestGeneralization:
+    def test_heldout_scene_loss_drops(self, tmp_path):
+        """The framework's namesake capability: train on four scenes with
+        different sphere geometry, validate on an UNSEEN fifth — the
+        held-out loss must drop substantially (generalizable fields, not
+        memorization). Long-run evidence: 0.241 -> 0.017 (14x) over 1200
+        steps (BENCH.md). The val loss sits flat (~0.24, the PE-only solution)
+        until a phase transition at ~160 steps where the decoder discovers
+        the encoder features, then drops sharply (0.09 at 160, 0.03 at 320)
+        — this CI budget (60 epochs = 240 steps) lands safely past the
+        transition; asserted at 0.6x for noise margin. Uses
+        normalize_coords=true so the triplane actually carries the scene."""
+        from gennerf_tpu.data.synthetic import generate_scene
+
+        root = str(tmp_path / "scenes")
+        specs = [
+            ("scene_a", (0.0, 0.0, 0.5), 0.5),
+            ("scene_b", (0.6, -0.4, 0.35), 0.35),
+            ("scene_d", (0.3, 0.3, 0.6), 0.55),
+            ("scene_e", (-0.4, -0.3, 0.4), 0.3),
+            ("scene_c", (-0.5, 0.5, 0.45), 0.45),  # held out
+        ]
+        for i, (name, center, radius) in enumerate(specs):
+            generate_scene(root, scene=name, num_frames=8, H=48, W=64,
+                           voxel_sizes=(8,), sphere_center=center,
+                           sphere_radius=radius, seed=i)
+
+        import train as train_cli
+
+        out = str(tmp_path / "run")
+        train_cli.main([
+            "experiment=overfit_synthetic",
+            f"paths.data_dir={root}",
+            f"paths.output_dir={out}",
+            "trainer.max_epochs=60",
+            "trainer.check_val_every_n_epoch=5",
+            "trainer.num_sanity_val_steps=0",
+            "data.datasets_train=[scans/scene_a/info.json,scans/scene_b/info.json,"
+            "scans/scene_d/info.json,scans/scene_e/info.json]",
+            "data.datasets_val=[scans/scene_c/info.json]",
+            "data.datasets_test=[scans/scene_c/info.json]",
+            "data.sequence_length=8",
+            "data.num_frames_train=4", "data.num_frames_val=4",
+            "data.num_frames_test=4",
+            "data.voxel_dim_train=[40,40,20]", "data.voxel_dim_val=[40,40,20]",
+            "data.voxel_dim_test=[40,40,20]", "data.voxel_size=0.08",
+            "model.encoder.pointnet.plane_resolution=32",
+            "model.encoder.pointnet.num_sparse_points=128",
+            "model.mlp.d_hidden=128", "model.ray.num_rays=32",
+            "model.optimizer.lr=0.001",
+        ])
+        jsonl = os.path.join(out, "csv", "metrics.jsonl")
+        rows = [json.loads(l) for l in open(jsonl)]
+        val = [r["val_combined"] for r in rows if "val_combined" in r]
+        assert len(val) >= 6
+        assert np.isfinite(val).all()
+        # the val scene was never trained on: improvement = generalization
+        assert val[-1] < val[0] * 0.6, (val[0], val[-1], val)
