@@ -30,11 +30,20 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _mlp_tail(feat, code, w_in_ref, b_in_ref, wz_ref, bz_ref,
-              w0_ref, b0_ref, w1_ref, b1_ref, w_out_ref, b_out_ref,
-              w_head_ref, alpha, *, n_blocks: int):
-    """Whole ResnetFC + tanh head on a (TILE, d) block, VMEM-resident."""
+              w0_ref, b0_ref, w1_ref, b1_ref, w_last_ref, scal_ref,
+              *, n_blocks: int):
+    """Whole ResnetFC + tanh head on a (TILE, d) block, VMEM-resident.
+
+    Weights arrive pre-cast to bf16 (extract_resnetfc_weights) so the MXU
+    feeds need no per-tile converts; accumulation and the residual stream
+    stay f32. lin_out and the TSDF head are pre-folded into one (H, 1)
+    matmul (w_last = w_out[:, :d_geo] @ w_head, f32 product at extract
+    time) — the semantic columns of lin_out never touch the kernel.
+    """
     dtype = jnp.bfloat16
     f32 = jnp.float32
+    alpha = scal_ref[0, 0]
+    b_last = scal_ref[0, 1]
 
     def dot(a, w):
         return jax.lax.dot(a.astype(dtype), w.astype(dtype),
@@ -47,19 +56,17 @@ def _mlp_tail(feat, code, w_in_ref, b_in_ref, wz_ref, bz_ref,
         net = dot(jnp.maximum(x, 0.0), w0_ref[i]) + b0_ref[i]
         dx = dot(jnp.maximum(net, 0.0), w1_ref[i]) + b1_ref[i]
         x = x + dx
-    out = dot(jnp.maximum(x, 0.0), w_out_ref[:]) + b_out_ref[:]
-    # head consumes feat_geo = out[:, :d_geo]; w_head is padded to full width
-    # with zeros beyond d_geo, so the full-width dot is exact
-    return jnp.tanh(dot(out, w_head_ref[:]))[:, 0]
+    out = dot(jnp.maximum(x, 0.0), w_last_ref[:])
+    return jnp.tanh(out + b_last)[:, 0]
 
 
 def _kernel(feat_ref, code_ref, w_in_ref, b_in_ref, wz_ref, bz_ref,
-            w0_ref, b0_ref, w1_ref, b1_ref, w_out_ref, b_out_ref,
-            w_head_ref, alpha_ref, out_ref, *, n_blocks: int):
+            w0_ref, b0_ref, w1_ref, b1_ref, w_last_ref, scal_ref,
+            out_ref, *, n_blocks: int):
     out_ref[:] = _mlp_tail(
         feat_ref[:], code_ref[:], w_in_ref, b_in_ref, wz_ref, bz_ref,
-        w0_ref, b0_ref, w1_ref, b1_ref, w_out_ref, b_out_ref,
-        w_head_ref, alpha_ref[0, 0], n_blocks=n_blocks,
+        w0_ref, b0_ref, w1_ref, b1_ref, w_last_ref, scal_ref,
+        n_blocks=n_blocks,
     )
 
 
@@ -67,7 +74,13 @@ def extract_resnetfc_weights(mlp_params: dict, head_params: dict, n_blocks: int,
                              d_geo: int):
     """Pack flax ResnetFC + TSDFHeadSimple params into padded kernel arrays.
 
-    Returns a dict of stacked, lane-padded weight arrays (all float32).
+    Returns a dict of stacked, lane-padded weight arrays. Matrix weights are
+    pre-cast to bf16 (the kernel's MXU input dtype — identical numerics to
+    casting inside the kernel, but no per-tile converts and half the VMEM);
+    biases stay f32 (they add into the f32 accumulator). lin_out and the
+    TSDF head fold into one (H, 1) column `w_last` with scalar bias
+    `b_last` — the product is taken in f32 before the bf16 cast, so the
+    fold is *more* accurate than chaining the two bf16 matmuls.
     """
     w_in = np.asarray(mlp_params["lin_in"]["kernel"])   # (d_in, H)
     b_in = np.asarray(mlp_params["lin_in"]["bias"])
@@ -91,31 +104,36 @@ def extract_resnetfc_weights(mlp_params: dict, head_params: dict, n_blocks: int,
     d_code_p = _round_up(d_code, 128)
     d_out_p = _round_up(d_out, 128)
 
+    bf16 = jnp.bfloat16
+
     def pad2(a, r, c):
-        return np.pad(a, ((0, r - a.shape[0]), (0, c - a.shape[1]))).astype(np.float32)
+        return np.pad(a, ((0, r - a.shape[0]), (0, c - a.shape[1]))).astype(bf16)
 
     def pad3(a, r, c):
-        return np.pad(a, ((0, 0), (0, r - a.shape[1]), (0, c - a.shape[2]))).astype(np.float32)
+        return np.pad(a, ((0, 0), (0, r - a.shape[1]), (0, c - a.shape[2]))).astype(bf16)
 
-    # head weight padded over d_out (rows beyond d_geo are zero so the
-    # full-width dot is exact); head bias must be zero (callers check b_head)
-    w_head_full = np.zeros((d_out_p, 128), np.float32)
-    w_head_full[: w_head.shape[0], 0] = w_head[:, 0]
+    # lin_out ∘ head fold: tsdf = tanh(relu(x) @ w_last + b_last) where
+    # w_last = w_out[:, :d_geo] @ w_head (f32), b_last = b_out[:d_geo]@w_head.
+    # Lane-padded to (H, 128); column 0 carries the value.
+    w_last_col = (w_out[:, :d_geo].astype(np.float64) @ w_head.astype(np.float64))
+    w_last = np.zeros((H, 128), np.float32)
+    w_last[:, 0] = w_last_col[:, 0]
+    b_last = float(b_out[:d_geo].astype(np.float64) @ w_head[:, 0].astype(np.float64))
+    # SMEM scalars: [alpha, b_last]
+    scal = np.array([[float(alpha[0, 0]), b_last]], np.float32)
 
     return {
         "w_in": pad2(w_in, d_in_p, H),
         "b_in": b_in.astype(np.float32).reshape(1, H),
         "wz": pad3(wz, d_code_p, H),
         "bz": bz.astype(np.float32).reshape(n_blocks, 1, H),
-        "w0": w0.astype(np.float32),
+        "w0": w0.astype(bf16),
         "b0": b0.astype(np.float32).reshape(n_blocks, 1, H),
-        "w1": w1.astype(np.float32),
+        "w1": w1.astype(bf16),
         "b1": b1.astype(np.float32).reshape(n_blocks, 1, H),
-        "w_out": pad2(w_out, H, d_out_p),
-        "b_out": np.pad(b_out, (0, d_out_p - d_out)).astype(np.float32).reshape(1, d_out_p),
-        "w_head": w_head_full,
+        "w_last": w_last.astype(bf16),
+        "scal": scal,
         "b_head": float(b_head[0]),
-        "alpha": alpha,
         "dims": (d_in, d_code, d_out, H, d_in_p, d_code_p, d_out_p),
     }
 
@@ -145,11 +163,12 @@ def fused_resnetfc_tsdf(
     H = weights["w_in"].shape[1]
     d_in_p = weights["w_in"].shape[0]
     d_code_p = weights["wz"].shape[1]
-    d_out_p = weights["w_out"].shape[1]
 
     pad_n = (-N) % tile
-    feat_p = jnp.pad(feat, ((0, pad_n), (0, d_in_p - d_in)))
-    code_p = jnp.pad(code, ((0, pad_n), (0, d_code_p - d_code)))
+    # inputs stream to the kernel in bf16 (the MXU dtype): half the HBM
+    # traffic of the f32 variant, no in-kernel converts
+    feat_p = jnp.pad(feat, ((0, pad_n), (0, d_in_p - d_in))).astype(jnp.bfloat16)
+    code_p = jnp.pad(code, ((0, pad_n), (0, d_code_p - d_code))).astype(jnp.bfloat16)
     n_tiles = feat_p.shape[0] // tile
 
     grid_spec = pl.GridSpec(
@@ -165,21 +184,19 @@ def fused_resnetfc_tsdf(
             pl.BlockSpec((n_blocks, 1, H), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n_blocks, H, H), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n_blocks, 1, H), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, d_out_p), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d_out_p), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d_out_p, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((H, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM),
     )
-    flops_per_pt = 2 * (d_in_p * H + n_blocks * (d_code_p * H + 2 * H * H) + H * d_out_p + d_out_p * 128)
+    flops_per_pt = 2 * (d_in_p * H + n_blocks * (d_code_p * H + 2 * H * H) + H * 128)
     out = pl.pallas_call(
         functools.partial(_kernel, n_blocks=n_blocks),
         out_shape=jax.ShapeDtypeStruct((feat_p.shape[0],), jnp.float32),
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
             flops=flops_per_pt * feat_p.shape[0],
-            bytes_accessed=feat_p.size * 4 + code_p.size * 4 + feat_p.shape[0] * 4,
+            bytes_accessed=feat_p.size * 2 + code_p.size * 2 + feat_p.shape[0] * 4,
             transcendentals=feat_p.shape[0],
         ),
         interpret=interpret,
@@ -187,7 +204,7 @@ def fused_resnetfc_tsdf(
         feat_p, code_p,
         weights["w_in"], weights["b_in"], weights["wz"], weights["bz"],
         weights["w0"], weights["b0"], weights["w1"], weights["b1"],
-        weights["w_out"], weights["b_out"], weights["w_head"], weights["alpha"],
+        weights["w_last"], weights["scal"],
     )
     return out[:N]
 
@@ -274,8 +291,10 @@ def _pe_axis_table(c: jnp.ndarray, axis: int, num_freqs: int, freq_factor: float
 
 def _grid_kernel(pyz_ref, pxz_ref, pxy_ref, tx_ref, ty_ref, tz_ref,
                  w_in_ref, b_in_ref, wz_ref, bz_ref, w0_ref, b0_ref,
-                 w1_ref, b1_ref, w_out_ref, b_out_ref, w_head_ref, alpha_ref,
+                 w1_ref, b1_ref, w_last_ref, scal_ref,
                  out_ref, *, n_blocks: int, tj: int, nz: int):
+    # tables are bf16 (the MXU input dtype); the broadcast-adds run on the
+    # VPU in bf16 and feed the first matmuls directly, convert-free
     cp = pyz_ref.shape[-1]
     dp = tz_ref.shape[-1]
     feat = (
@@ -288,20 +307,25 @@ def _grid_kernel(pyz_ref, pxz_ref, pxy_ref, tx_ref, ty_ref, tz_ref,
     ).reshape(tj * nz, dp)
     out_ref[:] = _mlp_tail(
         feat, code, w_in_ref, b_in_ref, wz_ref, bz_ref,
-        w0_ref, b0_ref, w1_ref, b1_ref, w_out_ref, b_out_ref,
-        w_head_ref, alpha_ref[0, 0], n_blocks=n_blocks,
+        w0_ref, b0_ref, w1_ref, b1_ref, w_last_ref, scal_ref,
+        n_blocks=n_blocks,
     )
 
 
 def pick_grid_tile(ny: int, nz: int, max_points: int = 4096):
-    """Largest j-tile with lane-aligned point count and sublane-aligned
-    block shapes (Mosaic requires block dims divisible by 8 unless equal to
-    the array dim), or None (caller falls back to the XLA path)."""
+    """Largest j-tile whose point count tiles Mosaic's 1D output layout
+    (1024-element multiples — a 1D out tile is effectively (8, 128)) with
+    sublane-aligned block shapes (block dims divisible by 8 unless equal to
+    the array dim), or None (caller falls back to the XLA path).
+
+    max_points=4096 is the v5e sweep optimum (BENCH.md: tile 3072 beats
+    6144 by ~18% — the larger tile's x/tz intermediates start thrashing
+    VMEM)."""
     best = None
     for tj in range(1, min(ny, 64) + 1):
         if (
             ny % tj == 0
-            and (tj * nz) % 128 == 0
+            and (tj * nz) % 1024 == 0
             and tj * nz <= max_points
             and (tj % 8 == 0 or tj == ny)
         ):
@@ -385,18 +409,22 @@ def _grid_tables(plane_xz, plane_xy, plane_yz, origin, weights, *, voxel_dim,
         plane_axes = axes
     ws = [_resample_matrix(_normalize_axis(c, padding), reso) for c in plane_axes]
 
+    bf16 = jnp.bfloat16
+
     def padc(a):
-        return jnp.pad(a, ((0, 0), (0, 0), (0, d_in_p - a.shape[-1])))
+        return jnp.pad(a, ((0, 0), (0, 0), (0, d_in_p - a.shape[-1]))).astype(bf16)
 
     # plane orientation: sample_plane_feature width = first normalized coord,
-    # height = second ('xz' -> (x, z): width x, height z, etc.)
+    # height = second ('xz' -> (x, z): width x, height z, etc.). Resampling
+    # runs in f32 (HIGHEST precision); tables ship to the kernel in bf16 —
+    # the MXU input dtype — halving block traffic and skipping converts.
     p_xz = padc(_resample_plane(plane_xz.astype(f32), ws[2], ws[0]))  # (nx, nz, Cp)
     p_xy = padc(_resample_plane(plane_xy.astype(f32), ws[1], ws[0]))  # (nx, ny, Cp)
     p_yz = padc(_resample_plane(plane_yz.astype(f32), ws[2], ws[1]))  # (ny, nz, Cp)
     p_yz = p_yz.reshape(ny * nz, d_in_p)
 
     def padd(a):
-        return jnp.pad(a, ((0, 0), (0, d_code_p - a.shape[-1])))
+        return jnp.pad(a, ((0, 0), (0, d_code_p - a.shape[-1]))).astype(bf16)
 
     t_x, t_y, t_z = (
         padd(_pe_axis_table(axes[a], a, num_freqs, freq_factor, include_input))
@@ -477,7 +505,6 @@ def _grid_kernel_call(p_yz, p_xz, p_xy, t_x, t_y, t_z, weights, *,
     n_j = ny // tj
     tile = tj * nz
     H = weights["w_in"].shape[1]
-    d_out_p = weights["w_out"].shape[1]
 
     grid_spec = pl.GridSpec(
         grid=(n_j, nx),
@@ -496,10 +523,8 @@ def _grid_kernel_call(p_yz, p_xz, p_xy, t_x, t_y, t_z, weights, *,
             pl.BlockSpec((weights["wz"].shape[0], 1, H), lambda j, i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((weights["wz"].shape[0], H, H), lambda j, i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((weights["wz"].shape[0], 1, H), lambda j, i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, d_out_p), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d_out_p), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d_out_p, 128), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((H, 128), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((tile,), lambda j, i: (i * n_j + j,), memory_space=pltpu.VMEM),
     )
@@ -507,8 +532,7 @@ def _grid_kernel_call(p_yz, p_xz, p_xy, t_x, t_y, t_z, weights, *,
     flops_per_pt = 2 * (
         d_in_p * H
         + n_blocks * (d_code_p * H + 2 * H * H)
-        + H * d_out_p
-        + d_out_p * 128
+        + H * 128
     )
     return pl.pallas_call(
         functools.partial(_grid_kernel, n_blocks=n_blocks, tj=tj, nz=nz),
@@ -516,7 +540,7 @@ def _grid_kernel_call(p_yz, p_xz, p_xy, t_x, t_y, t_z, weights, *,
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
             flops=flops_per_pt * n_pts,
-            bytes_accessed=(p_yz.size + p_xz.size + p_xy.size) * 4 + n_pts * 4,
+            bytes_accessed=(p_yz.size + p_xz.size + p_xy.size) * 2 + n_pts * 4,
             transcendentals=n_pts,
         ),
         interpret=interpret,
@@ -524,5 +548,5 @@ def _grid_kernel_call(p_yz, p_xz, p_xy, t_x, t_y, t_z, weights, *,
         p_yz, p_xz, p_xy, t_x, t_y, t_z,
         weights["w_in"], weights["b_in"], weights["wz"], weights["bz"],
         weights["w0"], weights["b0"], weights["w1"], weights["b1"],
-        weights["w_out"], weights["b_out"], weights["w_head"], weights["alpha"],
+        weights["w_last"], weights["scal"],
     )

@@ -198,7 +198,8 @@ class TestSeparableGridDecode:
             jnp.zeros(3), train=False,
             method=GenNerf.encode, mutable=["batch_stats"],
         )
-        voxel_dim = (16, 16, 8)
+        # decode grid z=64 so pick_grid_tile finds a Mosaic-legal 1024-pt tile
+        voxel_dim = (16, 16, 64)
         origin = jnp.asarray([0.05, -0.1, 0.02], jnp.float32)
         fused = decode_grid_fused(
             task.model, variables, repr_, voxel_dim, 0.08, origin, interpret=True
@@ -218,7 +219,10 @@ class TestSeparableGridDecode:
 
         assert pick_grid_tile(256, 96) == 32   # flagship val grid: 32*96=3072
         assert pick_grid_tile(416, 128) == 32  # test grid
-        assert pick_grid_tile(16, 8) == 16     # tiny test grid: 128 pts
+        assert pick_grid_tile(16, 64) == 16    # tiny test grid: 1024 pts
+        # 128-pt tiles violate Mosaic's 1D-output 1024-multiple layout
+        # (measured: tj*96 in {768, 1536} fails TPU compile) -> fallback
+        assert pick_grid_tile(16, 8) is None
         assert pick_grid_tile(7, 5) is None    # no aligned tile -> fallback
 
 
