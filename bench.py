@@ -208,15 +208,24 @@ def main():
     # compile + warmup; NOTE: on the tunneled TPU platform block_until_ready
     # returns before remote execution completes, so timings force a host
     # fetch of the result (a sum) to guarantee end-to-end completion.
+    # Each trial chains REP decodes and fetches ONE accumulated scalar:
+    # the tunnel round-trip (tens of ms here — comparable to the decode
+    # itself) amortizes over REP, matching the production regime of
+    # back-to-back volume decodes. Round-1's single-shot timing
+    # under-reported the kernel ~2x for exactly this reason (BENCH.md).
     tsdf = decode(None)
     float(tsdf.sum())
-    # steady state (best of 3)
+    REP = 10
+    acc = decode(None).sum()  # compile the .sum() chain too
+    float(acc)
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        tsdf = decode(None)
-        float(tsdf.sum())
-        times.append(time.perf_counter() - t0)
+        acc = 0.0
+        for _ in range(REP):
+            acc = acc + decode(None).sum()
+        float(acc)
+        times.append((time.perf_counter() - t0) / REP)
     pps = n_pts / min(times)
 
     baseline = get_baseline()

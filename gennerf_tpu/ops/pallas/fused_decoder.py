@@ -123,6 +123,12 @@ def extract_resnetfc_weights(mlp_params: dict, head_params: dict, n_blocks: int,
     scal = np.array([[float(alpha[0, 0]), b_last]], np.float32)
 
     return {
+        # unpadded f32 copies for the grid kernel's table pre-projection
+        # (lin_in/lin_z distribute over the separable axis sums and move
+        # out of the kernel entirely — see _grid_tables)
+        "w_in_raw": w_in.astype(np.float32),
+        "wz_raw": wz.astype(np.float32),
+        "bz_raw": bz.astype(np.float32),
         "w_in": pad2(w_in, d_in_p, H),
         "b_in": b_in.astype(np.float32).reshape(1, H),
         "wz": pad3(wz, d_code_p, H),
@@ -233,11 +239,13 @@ def supports_fused_decode(cfg) -> bool:
 # The NeRF positional encoding is likewise axis-separable into three tables
 # with disjoint nonzero columns:
 #     code(i,j,k) = T_x[i] + T_y[j] + T_z[k]   (exact).
-# The kernel streams (Tj*nz)-point tiles: builds feat/code by broadcasting
-# VMEM-resident table slices and runs the whole ResnetFC + tanh head — the
-# feature stage that previously dominated (BENCH.md round-1 tuning log)
-# disappears into a few adds. Replaces the reference's 10k-point chunked
-# dense decode (src/models/model.py:769-777).
+# Because lin_in and the per-block lin_z are LINEAR, they distribute over
+# those sums: every table is pre-projected to H=d_hidden outside the kernel
+# (q = P @ w_in, z_b = alpha * T @ wz_b — a few GFLOP over the axis grids),
+# so the kernel streams (Tj*nz)-point tiles, reconstructs x0 and the
+# latent injections by broadcast-ADDS only, and spends its MXU time purely
+# on the H×H residual-block matmuls + the folded head. Replaces the
+# reference's 10k-point chunked dense decode (src/models/model.py:769-777).
 
 
 def _resample_matrix(u: jnp.ndarray, reso: int) -> jnp.ndarray:
@@ -289,27 +297,45 @@ def _pe_axis_table(c: jnp.ndarray, axis: int, num_freqs: int, freq_factor: float
     return t
 
 
-def _grid_kernel(pyz_ref, pxz_ref, pxy_ref, tx_ref, ty_ref, tz_ref,
-                 w_in_ref, b_in_ref, wz_ref, bz_ref, w0_ref, b0_ref,
-                 w1_ref, b1_ref, w_last_ref, scal_ref,
+def _grid_kernel(qyz_ref, qxz_ref, qxy_ref, zx_ref, zy_ref, zz_ref,
+                 w0_ref, b0_ref, w1_ref, b1_ref, w_last_ref, scal_ref,
                  out_ref, *, n_blocks: int, tj: int, nz: int):
-    # tables are bf16 (the MXU input dtype); the broadcast-adds run on the
-    # VPU in bf16 and feed the first matmuls directly, convert-free
-    cp = pyz_ref.shape[-1]
-    dp = tz_ref.shape[-1]
-    feat = (
-        pyz_ref[:].reshape(tj, nz, cp)
-        + pxz_ref[0][None, :, :]
-        + pxy_ref[0][:, None, :]
-    ).reshape(tj * nz, cp)
-    code = (
-        ty_ref[:][:, None, :] + tz_ref[:][None, :, :] + tx_ref[0][None, :, :]
-    ).reshape(tj * nz, dp)
-    out_ref[:] = _mlp_tail(
-        feat, code, w_in_ref, b_in_ref, wz_ref, bz_ref,
-        w0_ref, b0_ref, w1_ref, b1_ref, w_last_ref, scal_ref,
-        n_blocks=n_blocks,
-    )
+    """Projected-tables grid kernel: lin_in and every lin_z are ALREADY
+    applied to the separable axis tables outside the kernel (they distribute
+    over the axis sums feat = P_xz+P_xy+P_yz and code = T_x+T_y+T_z), so the
+    in-kernel work is only the H×H residual-block matmuls + the folded head.
+    Tables arrive f32 (see _grid_tables); the residual stream stays f32 and
+    only the MXU feeds round to bf16."""
+    dtype = jnp.bfloat16
+    f32 = jnp.float32
+    H = qyz_ref.shape[-1]
+    b_last = scal_ref[0, 1]
+
+    def dot(a, w):
+        return jax.lax.dot(a.astype(dtype), w.astype(dtype),
+                           preferred_element_type=f32)
+
+    # x0 = feat @ w_in + b_in, as a broadcast-add of pre-projected tables
+    # (b_in is folded into q_yz at table-build time)
+    x = (
+        qyz_ref[:].reshape(tj, nz, H)
+        + qxz_ref[0][None, :, :]
+        + qxy_ref[0][:, None, :]
+    ).reshape(tj * nz, H).astype(f32)
+    for i in range(n_blocks):
+        # alpha * (code @ lin_z_i + bz_i), pre-projected per axis
+        # (alpha and bz folded into the tables)
+        tz = (
+            zy_ref[i][:, None, :]
+            + zz_ref[i][None, :, :]
+            + zx_ref[0, i][None, None, :]
+        ).reshape(tj * nz, H)
+        x = x + tz.astype(f32)
+        net = dot(jnp.maximum(x, 0.0), w0_ref[i]) + b0_ref[i]
+        dx = dot(jnp.maximum(net, 0.0), w1_ref[i]) + b1_ref[i]
+        x = x + dx
+    out = dot(jnp.maximum(x, 0.0), w_last_ref[:])
+    out_ref[:] = jnp.tanh(out + b_last)[:, 0]
 
 
 def pick_grid_tile(ny: int, nz: int, max_points: int = 4096):
@@ -318,9 +344,9 @@ def pick_grid_tile(ny: int, nz: int, max_points: int = 4096):
     sublane-aligned block shapes (block dims divisible by 8 unless equal to
     the array dim), or None (caller falls back to the XLA path).
 
-    max_points=4096 is the v5e sweep optimum (BENCH.md: tile 3072 beats
-    6144 by ~18% — the larger tile's x/tz intermediates start thrashing
-    VMEM)."""
+    max_points=4096 is the v5e sweep optimum (BENCH.md round-2 log: with
+    the f32 projected tables, tile 6144 (tj=64) fails TPU compile on VMEM
+    and 3072 runs at ~76% MXU)."""
     best = None
     for tj in range(1, min(ny, 64) + 1):
         if (
@@ -382,19 +408,37 @@ def fused_grid_decode(
 def _grid_tables(plane_xz, plane_xy, plane_yz, origin, weights, *, voxel_dim,
                  voxel_size, num_freqs, freq_factor, include_input, padding,
                  coord_center=None, coord_scale=None):
-    """Resampled plane slices + PE axis tables (lane-padded) for the grid
-    kernel: (p_yz (ny*nz, Cp), p_xz (nx, nz, Cp), p_xy (nx, ny, Cp),
-    t_x (nx, 1, Dp), t_y (ny, Dp), t_z (nz, Dp)).
+    """Pre-projected axis tables for the grid kernel.
+
+    lin_in and lin_z distribute over the separable sums
+        feat(i,j,k) = P_xz[i,k] + P_xy[i,j] + P_yz[j,k]
+        code(i,j,k) = T_x[i] + T_y[j] + T_z[k]
+    so each table is projected through its matmul HERE (a few GFLOP over the
+    axis grids — ~0.1% of the kernel's work) and the kernel's per-point
+    lin_in/lin_z matmuls vanish into broadcast-adds. This also removes the
+    lane padding waste of the (d_code=39 -> 128) lin_z matmuls.
+
+    Returns (q_yz (ny*nz, H), q_xz (nx, nz, H), q_xy (nx, ny, H),
+    z_x (nx, n_blocks, H), z_y (n_blocks, ny, H), z_z (n_blocks, nz, H)),
+    all f32 (the tables carry the FULL pre-activation signal — bf16 here
+    costs ~3x the end-to-end error because the rounding lands after the
+    projection instead of before it; the traffic is trivial vs the H×H
+    matmul compute), with b_in folded into q_yz and alpha/bz folded into
+    the z tables.
 
     coord_center/coord_scale: optional affine map applied to the PLANE
     coordinates only (GenNerf.pointnet.normalize_coords); the PE tables
     always use raw world coordinates, matching GenNerf.decode."""
     nx, ny, nz = voxel_dim
     reso = plane_xz.shape[-1]
-    d_in_p = weights["w_in"].shape[0]
-    d_code_p = weights["wz"].shape[1]
     f32 = jnp.float32
+    hp = jax.lax.Precision.HIGHEST
     origin = origin.astype(f32)
+    w_in = weights["w_in_raw"].astype(f32)   # (d_in, H)
+    b_in = weights["b_in"][0].astype(f32)    # (H,)
+    wz = weights["wz_raw"].astype(f32)       # (n_blocks, d_code, H)
+    bz = weights["bz_raw"].astype(f32)       # (n_blocks, H)
+    alpha = weights["scal"][0, 0].astype(f32)
 
     # world coordinates per axis (train/predict.dense_grid_points convention)
     axes = [
@@ -409,30 +453,30 @@ def _grid_tables(plane_xz, plane_xy, plane_yz, origin, weights, *, voxel_dim,
         plane_axes = axes
     ws = [_resample_matrix(_normalize_axis(c, padding), reso) for c in plane_axes]
 
-    bf16 = jnp.bfloat16
-
-    def padc(a):
-        return jnp.pad(a, ((0, 0), (0, 0), (0, d_in_p - a.shape[-1]))).astype(bf16)
+    def proj(p):
+        # (a, b, C) resampled plane -> (a, b, H) through lin_in, f32
+        return jnp.einsum("abc,ch->abh", p, w_in, precision=hp)
 
     # plane orientation: sample_plane_feature width = first normalized coord,
-    # height = second ('xz' -> (x, z): width x, height z, etc.). Resampling
-    # runs in f32 (HIGHEST precision); tables ship to the kernel in bf16 —
-    # the MXU input dtype — halving block traffic and skipping converts.
-    p_xz = padc(_resample_plane(plane_xz.astype(f32), ws[2], ws[0]))  # (nx, nz, Cp)
-    p_xy = padc(_resample_plane(plane_xy.astype(f32), ws[1], ws[0]))  # (nx, ny, Cp)
-    p_yz = padc(_resample_plane(plane_yz.astype(f32), ws[2], ws[1]))  # (ny, nz, Cp)
-    p_yz = p_yz.reshape(ny * nz, d_in_p)
+    # height = second ('xz' -> (x, z): width x, height z, etc.). Everything
+    # stays f32 end-to-end; the kernel's dot() casts to bf16 only at the MXU
+    # feeds, exactly like the unprojected design did after its own matmul.
+    q_xz = proj(_resample_plane(plane_xz.astype(f32), ws[2], ws[0]))
+    q_xy = proj(_resample_plane(plane_xy.astype(f32), ws[1], ws[0]))
+    q_yz = proj(_resample_plane(plane_yz.astype(f32), ws[2], ws[1])) + b_in
+    q_yz = q_yz.reshape(ny * nz, -1)
 
-    def padd(a):
-        return jnp.pad(a, ((0, 0), (0, d_code_p - a.shape[-1]))).astype(bf16)
-
-    t_x, t_y, t_z = (
-        padd(_pe_axis_table(axes[a], a, num_freqs, freq_factor, include_input))
+    tabs = [
+        _pe_axis_table(axes[a], a, num_freqs, freq_factor, include_input)
         for a in range(3)
+    ]
+    # z_a[b] = alpha * (T_a @ wz[b]); bz folds into the z axis's table
+    z_x, z_y, z_z = (
+        alpha * jnp.einsum("nd,bdh->bnh", t, wz, precision=hp) for t in tabs
     )
-    t_x = t_x[:, None, :]  # (nx, 1, Dp): Mosaic needs the last-two block
-    # dims divisible by (8, 128) or equal to the array dims; (1, Dp) == array
-    return p_yz, p_xz, p_xy, t_x, t_y, t_z
+    z_z = z_z + alpha * bz[:, None, :]
+    z_x = z_x.transpose(1, 0, 2)  # (nx, n_blocks, H)
+    return q_yz, q_xz, q_xy, z_x, z_y, z_z
 
 
 def fused_grid_decode_sharded(
@@ -457,7 +501,7 @@ def fused_grid_decode_sharded(
     coord_scale=None,
 ) -> jnp.ndarray:
     """Multi-chip dense decode: the x-axis of the grid shards over the mesh
-    (P_xz/P_xy/T_x split on axis 0, P_yz/T_y/T_z + weights replicated), each
+    (Q_xz/Q_xy/Z_x split on axis 0, Q_yz/Z_y/Z_z + weights replicated), each
     device runs the grid kernel on its slab — embarrassingly parallel, zero
     collectives (the decode has no cross-point interaction, SURVEY §2.3)."""
     from jax.sharding import PartitionSpec as P
@@ -494,59 +538,48 @@ def fused_grid_decode_sharded(
     return out.reshape(nx, ny, nz)
 
 
-def _grid_kernel_call(p_yz, p_xz, p_xy, t_x, t_y, t_z, weights, *,
+def _grid_kernel_call(q_yz, q_xz, q_xy, z_x, z_y, z_z, weights, *,
                       n_blocks: int, tj: int, interpret: bool) -> jnp.ndarray:
     """One pallas launch over an (nx, ny, nz) sub-grid. nx comes from the
-    tables (x-sharded callers pass their local slice of P_xz/P_xy/T_x and
-    the full P_yz/T_y/T_z)."""
-    nx, nz, d_in_p = p_xz.shape
-    ny = p_xy.shape[1]
-    d_code_p = t_z.shape[-1]
+    tables (x-sharded callers pass their local slice of Q_xz/Q_xy/Z_x and
+    the full Q_yz/Z_y/Z_z)."""
+    nx, nz, H = q_xz.shape
+    ny = q_xy.shape[1]
     n_j = ny // tj
     tile = tj * nz
-    H = weights["w_in"].shape[1]
 
     grid_spec = pl.GridSpec(
         grid=(n_j, nx),
         in_specs=[
-            pl.BlockSpec((tile, d_in_p), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nz, d_in_p), lambda j, i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tj, d_in_p), lambda j, i: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, d_code_p), lambda j, i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tj, d_code_p), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nz, d_code_p), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d_in_p, H), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((weights["wz"].shape[0], d_code_p, H), lambda j, i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((weights["wz"].shape[0], 1, H), lambda j, i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((weights["wz"].shape[0], H, H), lambda j, i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((weights["wz"].shape[0], 1, H), lambda j, i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((weights["wz"].shape[0], H, H), lambda j, i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((weights["wz"].shape[0], 1, H), lambda j, i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, H), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nz, H), lambda j, i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tj, H), lambda j, i: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_blocks, H), lambda j, i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blocks, tj, H), lambda j, i: (0, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blocks, nz, H), lambda j, i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blocks, H, H), lambda j, i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blocks, 1, H), lambda j, i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blocks, H, H), lambda j, i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_blocks, 1, H), lambda j, i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((H, 128), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((tile,), lambda j, i: (i * n_j + j,), memory_space=pltpu.VMEM),
     )
     n_pts = nx * ny * nz
-    flops_per_pt = 2 * (
-        d_in_p * H
-        + n_blocks * (d_code_p * H + 2 * H * H)
-        + H * 128
-    )
+    flops_per_pt = 2 * (n_blocks * 2 * H * H + H * 128)
     return pl.pallas_call(
         functools.partial(_grid_kernel, n_blocks=n_blocks, tj=tj, nz=nz),
         out_shape=jax.ShapeDtypeStruct((n_pts,), jnp.float32),
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
             flops=flops_per_pt * n_pts,
-            bytes_accessed=(p_yz.size + p_xz.size + p_xy.size) * 2 + n_pts * 4,
+            bytes_accessed=(q_yz.size + q_xz.size + q_xy.size) * 4 + n_pts * 4,
             transcendentals=n_pts,
         ),
         interpret=interpret,
     )(
-        p_yz, p_xz, p_xy, t_x, t_y, t_z,
-        weights["w_in"], weights["b_in"], weights["wz"], weights["bz"],
+        q_yz, q_xz, q_xy, z_x, z_y, z_z,
         weights["w0"], weights["b0"], weights["w1"], weights["b1"],
         weights["w_last"], weights["scal"],
     )

@@ -1,4 +1,4 @@
 """Device-mesh parallelism utilities."""
-from .mesh import make_mesh, shard_batch, replicate
+from .mesh import batch_spec, make_hybrid_mesh, make_mesh, replicate, shard_batch
 
-__all__ = ["make_mesh", "shard_batch", "replicate"]
+__all__ = ["batch_spec", "make_hybrid_mesh", "make_mesh", "replicate", "shard_batch"]

@@ -31,10 +31,54 @@ def make_mesh(num_devices: Optional[int] = None, axis_name: str = "data") -> Mes
     return Mesh(np.array(devices), (axis_name,))
 
 
-def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
-    """Device-put a pytree of host arrays with axis 0 sharded over the mesh."""
+def make_hybrid_mesh(
+    num_slices: int,
+    devices_per_slice: Optional[int] = None,
+    axis_names: tuple = ("slice", "data"),
+) -> Mesh:
+    """2-D multi-slice mesh: ('slice', 'data') = (DCN, ICI) axes.
+
+    The reference is single-node NCCL DDP (SURVEY §5.8); this is the
+    beyond-parity scaling surface for multi-slice TPU pods. Data
+    parallelism shards the batch over BOTH axes (`batch_spec`), so the
+    gradient all-reduce XLA inserts decomposes into an intra-slice
+    reduce-scatter/all-gather over ICI plus a small inter-slice
+    all-reduce over DCN — the standard hybrid layout from the scaling
+    playbook. On real multi-slice hardware the device order groups each
+    slice contiguously (jax device ids are slice-major, matching
+    mesh_utils.create_hybrid_device_mesh's contract); on a virtual CPU
+    platform any grouping is valid.
+    """
+    devices = jax.devices()
+    if devices_per_slice is None:
+        if len(devices) % num_slices:
+            raise ValueError(
+                f"{len(devices)} devices not divisible into {num_slices} slices"
+            )
+        devices_per_slice = len(devices) // num_slices
+    n = num_slices * devices_per_slice
+    if n > len(devices):
+        raise ValueError(f"requested {n} devices, only {len(devices)} available")
+    grid = np.array(devices[:n]).reshape(num_slices, devices_per_slice)
+    return Mesh(grid, axis_names)
+
+
+def batch_spec(mesh: Mesh) -> P:
+    """PartitionSpec sharding a batch axis over ALL mesh axes (1-D 'data'
+    meshes and hybrid ('slice', 'data') meshes alike)."""
+    return P(tuple(mesh.axis_names))
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: Optional[str] = None):
+    """Device-put a pytree of host arrays with axis 0 sharded over the mesh.
+
+    By default axis 0 shards over ALL mesh axes (flattened), which covers
+    both the 1-D data mesh and the hybrid slice×data mesh; pass
+    `axis_name` to shard over a single named axis instead."""
+    spec_sharded = P(axis_name) if axis_name is not None else batch_spec(mesh)
+
     def put(x):
-        spec = P(axis_name) if getattr(x, "ndim", 0) >= 1 else P()
+        spec = spec_sharded if getattr(x, "ndim", 0) >= 1 else P()
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree.map(put, batch)

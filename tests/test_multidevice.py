@@ -70,6 +70,38 @@ class TestDataParallel:
         for a, b in zip(p8, p1):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
 
+    def test_hybrid_slice_mesh_matches_flat(self, rng):
+        """Multi-slice (DCN x ICI) layout: the same global batch sharded
+        over a 2x4 ('slice', 'data') hybrid mesh gives the same loss and
+        updated params as the flat 8-device mesh — the hybrid layout only
+        changes HOW XLA decomposes the gradient all-reduce (intra-slice
+        ICI reduce + inter-slice DCN reduce), not WHAT is computed."""
+        from gennerf_tpu.parallel.mesh import make_hybrid_mesh
+
+        from gennerf_tpu.train.tasks import GenNerfTask
+
+        assert jax.device_count() == 8
+        task = GenNerfTask(_tiny_cfg())
+        batch = _batch(rng, B=8)
+        key = jax.random.PRNGKey(0)
+        state = task.init_state(jax.random.PRNGKey(1), batch)
+
+        hybrid = make_hybrid_mesh(num_slices=2)
+        assert hybrid.shape == {"slice": 2, "data": 4}
+        sh = replicate(state, hybrid)
+        sharded = shard_batch(batch, hybrid)
+        s_h, m_h = task.run_train_step(sh, sharded, key)
+
+        mesh8 = make_mesh(8)
+        s_f, m_f = task.run_train_step(
+            replicate(state, mesh8), shard_batch(batch, mesh8), key
+        )
+        np.testing.assert_allclose(
+            float(m_h["combined"]), float(m_f["combined"]), rtol=1e-4
+        )
+        for a, b in zip(jax.tree.leaves(s_h.params), jax.tree.leaves(s_f.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+
     def test_point_sharded_decode(self, rng):
         """Dense decode with the query-point axis sharded over the mesh."""
         from jax.sharding import NamedSharding, PartitionSpec as P

@@ -201,18 +201,103 @@ class TestSeparableGridDecode:
         # decode grid z=64 so pick_grid_tile finds a Mosaic-legal 1024-pt tile
         voxel_dim = (16, 16, 64)
         origin = jnp.asarray([0.05, -0.1, 0.02], jnp.float32)
+        # tame the feature scale: the untrained synthetic encode produces
+        # plane features at scale ~300, where BOTH paths' bf16-precision
+        # matmuls (this JAX build's DEFAULT f32 matmul precision is bf16-
+        # level, measured 2.6e-3 rel err) drown the comparison. The table
+        # math itself is exact: flax applied to table-reconstructed inputs
+        # reproduces decode_dense bit-for-bit (see round-2 BENCH.md notes).
+        from gennerf_tpu.models.gen_nerf import SceneRepr
+        repr_ = SceneRepr(
+            volume=repr_.volume, valid=repr_.valid,
+            planes={k: 0.02 * v for k, v in repr_.planes.items()},
+        )
         fused = decode_grid_fused(
             task.model, variables, repr_, voxel_dim, 0.08, origin, interpret=True
         )
         pts = dense_grid_points(voxel_dim, 0.08, np.asarray(origin))
-        ref = decode_dense(task.model, variables, repr_, pts, origin).reshape(voxel_dim)
+        # the reference must run at true f32 (HIGHEST): the kernel's table
+        # stage is exact, so comparing against the default-precision XLA
+        # decode would measure the REFERENCE's bf16-level matmul noise
+        with jax.default_matmul_precision("highest"):
+            ref = decode_dense(task.model, variables, repr_, pts, origin).reshape(voxel_dim)
         assert fused.shape == voxel_dim
-        # separable features match the gather path to ~4e-6 (verified at the
-        # feature stage); the residual is bf16 MLP rounding vs the f32 flax
-        # path with full-scale init weights
-        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2.5e-2)
-        c = np.corrcoef(np.asarray(fused).ravel(), np.asarray(ref).ravel())[0, 1]
+        # tolerance calibration: the kernel's residual blocks run bf16 (by
+        # design — it IS the production bf16 decoder), so vs a true-f32
+        # reference its error floor is ~2^-8 x |activation| x block gain
+        # ~ 5e-2 here (PE injections put |x| ~ 10 at this random init).
+        # The table/fold algebra is pinned EXACTLY by
+        # test_projected_tables_fold_exact; this asserts end-to-end sanity.
+        fa, ra = np.asarray(fused), np.asarray(ref)
+        np.testing.assert_allclose(fa, ra, atol=8e-2)
+        assert np.abs(fa - ra).mean() < 1e-2
+        c = np.corrcoef(fa.ravel(), ra.ravel())[0, 1]
         assert c > 0.9999
+
+    def test_projected_tables_fold_exact(self, rng):
+        """The lin_in/lin_z pre-projection folds (b_in into q_yz, alpha+bz
+        into z_z) reproduce feat@w_in+b_in and alpha*(code@wz+bz) exactly
+        (f32 table build vs f64 direct math)."""
+        from gennerf_tpu.models.positional_encoding import positional_encoding
+        from gennerf_tpu.models.resnetfc import ResnetFC
+        from gennerf_tpu.models.heads import TSDFHeadSimple
+        from gennerf_tpu.ops.pallas.fused_decoder import (
+            _grid_tables,
+            _normalize_axis,
+            _resample_matrix,
+            _resample_plane,
+            extract_resnetfc_weights,
+        )
+
+        d_in, d_code, H, n_blocks, reso = 8, 39, 32, 2, 16
+        mlp = ResnetFC(d_in=d_in, d_out=9, n_blocks=n_blocks, d_latent=d_code,
+                       d_hidden=H)
+        head = TSDFHeadSimple()
+        zx = jnp.asarray(rng.standard_normal((4, d_in + d_code)).astype(np.float32))
+        mv = mlp.init(jax.random.PRNGKey(0), zx)
+        params = dict(mv["params"])
+        params["alpha"] = jnp.asarray(0.7, jnp.float32)
+        hv = head.init(jax.random.PRNGKey(1), mlp.apply({"params": params}, zx)[:, :8])
+        weights = extract_resnetfc_weights(
+            jax.tree.map(np.asarray, params),
+            jax.tree.map(np.asarray, hv["params"]), n_blocks, 8,
+        )
+        planes = {k: jnp.asarray(rng.standard_normal((d_in, reso, reso)).astype(np.float32))
+                  for k in ("xz", "xy", "yz")}
+        nx, ny, nz = 8, 6, 10
+        vs, padding = 0.08, 0.1
+        origin = jnp.asarray([0.02, -0.05, 0.01], jnp.float32)
+        tabs = _grid_tables(
+            planes["xz"], planes["xy"], planes["yz"], origin, weights,
+            voxel_dim=(nx, ny, nz), voxel_size=vs, num_freqs=6,
+            freq_factor=0.5, include_input=True, padding=padding,
+        )
+        q_yz, q_xz, q_xy, z_x, z_y, z_z = [np.asarray(t, np.float64) for t in tabs]
+
+        axes = [np.linspace(0.0, vs * n, n, dtype=np.float32) + np.asarray(origin)[a]
+                for a, n in enumerate((nx, ny, nz))]
+        ws = [np.asarray(_resample_matrix(_normalize_axis(jnp.asarray(c), padding), reso))
+              for c in axes]
+        p_xz = np.asarray(_resample_plane(planes["xz"], jnp.asarray(ws[2]), jnp.asarray(ws[0])))
+        p_xy = np.asarray(_resample_plane(planes["xy"], jnp.asarray(ws[1]), jnp.asarray(ws[0])))
+        p_yz = np.asarray(_resample_plane(planes["yz"], jnp.asarray(ws[2]), jnp.asarray(ws[1])))
+        w_in = np.asarray(weights["w_in_raw"], np.float64)
+        b_in = np.asarray(weights["b_in"], np.float64)[0]
+        wz = np.asarray(weights["wz_raw"], np.float64)
+        bz = np.asarray(weights["bz_raw"], np.float64)
+        alpha = 0.7
+
+        ii, jj, kk = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij")
+        ii, jj, kk = ii.ravel(), jj.ravel(), kk.ravel()
+        feat = p_xz[ii, kk] + p_xy[ii, jj] + p_yz[jj, kk]
+        x0_tab = q_yz[jj * nz + kk] + q_xz[ii, kk] + q_xy[ii, jj]
+        np.testing.assert_allclose(x0_tab, feat @ w_in + b_in, atol=5e-5)
+
+        pts = np.stack([axes[0][ii], axes[1][jj], axes[2][kk]], -1)
+        code = np.asarray(positional_encoding(jnp.asarray(pts), 6, 0.5, True), np.float64)
+        for b in range(n_blocks):
+            tz_tab = z_x[ii, b] + z_y[b, jj] + z_z[b, kk]
+            np.testing.assert_allclose(tz_tab, alpha * (code @ wz[b] + bz[b]), atol=5e-5)
 
     def test_pick_grid_tile(self):
         from gennerf_tpu.ops.pallas.fused_decoder import pick_grid_tile
