@@ -74,12 +74,25 @@ def shard_batch(batch, mesh: Mesh, axis_name: Optional[str] = None):
 
     By default axis 0 shards over ALL mesh axes (flattened), which covers
     both the 1-D data mesh and the hybrid slice×data mesh; pass
-    `axis_name` to shard over a single named axis instead."""
+    `axis_name` to shard over a single named axis instead.
+
+    A partial batch (axis 0 not divisible by the mesh size — e.g. the last
+    val batch with drop_last=False) is placed REPLICATED instead: its odd
+    shape forces a fresh jit compile either way, and replicated execution
+    keeps metrics exact without padding tricks. The reference hits the
+    same case via Lightning's uneven final DDP batch."""
     spec_sharded = P(axis_name) if axis_name is not None else batch_spec(mesh)
+    n = (
+        mesh.shape[axis_name]
+        if axis_name is not None
+        else int(np.prod(list(mesh.shape.values())))
+    )
 
     def put(x):
-        spec = spec_sharded if getattr(x, "ndim", 0) >= 1 else P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sharded = (
+            getattr(x, "ndim", 0) >= 1 and x.shape[0] % n == 0 and x.shape[0] > 0
+        )
+        return jax.device_put(x, NamedSharding(mesh, spec_sharded if sharded else P()))
 
     return jax.tree.map(put, batch)
 

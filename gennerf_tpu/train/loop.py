@@ -14,7 +14,7 @@ from typing import Any, Dict, Optional
 import jax
 import numpy as np
 
-from ..parallel.mesh import make_mesh, shard_batch
+from ..parallel.mesh import make_hybrid_mesh, make_mesh, shard_batch
 from .checkpoints import CheckpointManager
 from .loggers import MetricsLogger, get_logger
 from .state import TrainState, lr_for_epoch, set_learning_rate
@@ -41,6 +41,7 @@ class Trainer:
         output_dir: str = ".",
         logger: Optional[MetricsLogger] = None,
         ckpt: Optional[CheckpointManager] = None,
+        num_slices: Optional[int] = None,
         **_unused,
     ):
         self.max_epochs = max_epochs
@@ -53,7 +54,17 @@ class Trainer:
         self.logger = logger or MetricsLogger(output_dir)
         self.ckpt = ckpt
         num_devices = None if devices in ("auto", None) else int(devices)
-        self.mesh = make_mesh(num_devices)
+        if num_slices and int(num_slices) > 1:
+            # multi-slice pod: hybrid (slice, data) = (DCN, ICI) mesh;
+            # batch shards over both axes (parallel.mesh.make_hybrid_mesh)
+            if num_devices is not None and num_devices % int(num_slices):
+                raise ValueError(
+                    f"devices={num_devices} not divisible by num_slices={num_slices}"
+                )
+            per_slice = None if num_devices is None else num_devices // int(num_slices)
+            self.mesh = make_hybrid_mesh(int(num_slices), per_slice)
+        else:
+            self.mesh = make_mesh(num_devices)
         self.precision = precision
         self.profile_dir = profile_dir
         self.profile_steps = profile_steps

@@ -172,3 +172,21 @@ class TestFusionLabels:
         assert "color" in tsdf.attribute_vols and "semseg" in tsdf.attribute_vols
         sem = np.asarray(tsdf.attribute_vols["semseg"])
         assert (sem == 7).any() and (sem == -1).any()
+
+
+class TestHybridMeshTrainer:
+    def test_trainer_num_slices_builds_hybrid_mesh(self, tmp_path):
+        """trainer.num_slices (configs/trainer/tpu_pod.yaml) selects the
+        (slice, data) hybrid mesh; batches shard over both axes."""
+        from gennerf_tpu.train.loop import Trainer
+
+        tr = Trainer(devices=8, num_slices=2, output_dir=str(tmp_path))
+        assert tr.mesh.shape == {"slice": 2, "data": 4}
+        tr1 = Trainer(devices=8, output_dir=str(tmp_path))
+        assert tr1.mesh.shape == {"data": 8}
+
+    def test_num_slices_must_divide_devices(self, tmp_path):
+        from gennerf_tpu.train.loop import Trainer
+
+        with pytest.raises(ValueError):
+            Trainer(devices=8, num_slices=3, output_dir=str(tmp_path))

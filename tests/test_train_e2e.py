@@ -295,3 +295,43 @@ class TestGeneralization:
         assert np.isfinite(val).all()
         # the val scene was never trained on: improvement = generalization
         assert val[-1] < val[0] * 0.6, (val[0], val[-1], val)
+
+
+@pytest.mark.slow
+class TestHybridMeshCLI:
+    def test_train_cli_num_slices(self, synth_data, tmp_path):
+        """Drive the training CLI over the hybrid (slice, data) pod mesh
+        (configs/trainer/tpu_pod.yaml surface) on the 8-device virtual
+        platform: 2 slices x 4 'chips'."""
+        root, _ = synth_data
+        import train as train_cli
+
+        out = str(tmp_path / "run_pod")
+        metrics = train_cli.main([
+            "experiment=overfit_synthetic",
+            "data=frame",
+            f"paths.data_dir={root}",
+            f"paths.output_dir={out}",
+            "trainer.devices=8",
+            "trainer.num_slices=2",
+            "trainer.max_epochs=2",
+            "trainer.check_val_every_n_epoch=2",
+            "trainer.num_sanity_val_steps=0",
+            "data.datasets_train=[scans/scene_synth0/info.json]",
+            "data.datasets_val=[scans/scene_synth0/info.json]",
+            "data.datasets_test=[scans/scene_synth0/info.json]",
+            "data.frame_idx=0",
+            "data.length_train=8",
+            "data.length_val=1",
+            "data.batch_size=8",
+            "data.voxel_dim_train=[40,40,20]",
+            "data.voxel_dim_val=[40,40,20]",
+            "data.voxel_dim_test=[40,40,20]",
+            "data.voxel_size=0.08",
+            "model.encoder.pointnet.plane_resolution=32",
+            "model.encoder.pointnet.num_sparse_points=64",
+            "model.mlp.d_hidden=64",
+            "model.ray.num_rays=16",
+        ])
+        val = metrics.get("train_combined", metrics.get("train_loss"))
+        assert val is not None and np.isfinite(val)
