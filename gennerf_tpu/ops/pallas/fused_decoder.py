@@ -538,6 +538,82 @@ def fused_grid_decode_sharded(
     return out.reshape(nx, ny, nz)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "voxel_dim", "voxel_size", "n_blocks", "num_freqs", "freq_factor",
+    "include_input", "padding", "coord_center", "coord_scale"))
+def separable_grid_decode_xla(
+    plane_xz: jnp.ndarray,
+    plane_xy: jnp.ndarray,
+    plane_yz: jnp.ndarray,
+    origin: jnp.ndarray,
+    weights: dict,
+    *,
+    voxel_dim,
+    voxel_size: float,
+    n_blocks: int,
+    num_freqs: int,
+    freq_factor: float,
+    include_input: bool,
+    padding: float,
+    coord_center=None,
+    coord_scale=None,
+) -> jnp.ndarray:
+    """Pure-XLA separable grid decode: the SAME pre-projected tables as the
+    Pallas kernel (zero gathers, lin_in/lin_z folded away), evaluated by a
+    lax.map over x-slabs of (ny*nz, H) activations.
+
+    This is the fallback tier between the Pallas kernel and the chunked
+    gather decode: it carries no Mosaic tile constraints (any voxel_dim,
+    any platform) while keeping the separability win — on v5e it measures
+    ~3x the gather-based `decode_dense` (BENCH.md round-2 log).
+    """
+    nx, ny, nz = (int(d) for d in voxel_dim)
+    tables = _grid_tables(
+        plane_xz, plane_xy, plane_yz, origin, weights,
+        voxel_dim=(nx, ny, nz), voxel_size=voxel_size, num_freqs=num_freqs,
+        freq_factor=freq_factor, include_input=include_input, padding=padding,
+        coord_center=coord_center, coord_scale=coord_scale,
+    )
+    q_yz, q_xz, q_xy, z_x, z_y, z_z = tables
+    H = q_yz.shape[-1]
+    bf16 = jnp.bfloat16
+    f32 = jnp.float32
+    w0 = weights["w0"]
+    b0 = weights["b0"]
+    w1 = weights["w1"]
+    b1 = weights["b1"]
+    w_last = weights["w_last"][:, :1]
+    b_last = weights["scal"][0, 1]
+    # per-block z_y[b] + z_z[b] outer sums are x-independent: precompute one
+    # (n_blocks, ny*nz, H) tensor and slab-add only z_x inside the map
+    tz_yz = (z_y[:, :, None, :] + z_z[:, None, :, :]).reshape(n_blocks, ny * nz, H)
+
+    def slab(args):
+        qxz_i, qxy_i, zx_i = args  # (nz,H), (ny,H), (n_blocks,H)
+        x = (
+            q_yz.reshape(ny, nz, H)
+            + qxz_i[None, :, :]
+            + qxy_i[:, None, :]
+        ).reshape(ny * nz, H).astype(f32)
+        for b in range(n_blocks):
+            x = x + (tz_yz[b] + zx_i[b][None, :]).astype(f32)
+            net = (
+                jnp.dot(jnp.maximum(x, 0.0).astype(bf16), w0[b],
+                        preferred_element_type=f32) + b0[b]
+            )
+            dx = (
+                jnp.dot(jnp.maximum(net, 0.0).astype(bf16), w1[b],
+                        preferred_element_type=f32) + b1[b]
+            )
+            x = x + dx
+        out = jnp.dot(jnp.maximum(x, 0.0).astype(bf16), w_last,
+                      preferred_element_type=f32)
+        return jnp.tanh(out[:, 0] + b_last)
+
+    vols = jax.lax.map(slab, (q_xz, q_xy, z_x))
+    return vols.reshape(nx, ny, nz)
+
+
 def _grid_kernel_call(q_yz, q_xz, q_xy, z_x, z_y, z_z, weights, *,
                       n_blocks: int, tj: int, interpret: bool) -> jnp.ndarray:
     """One pallas launch over an (nx, ny, nz) sub-grid. nx comes from the

@@ -83,7 +83,14 @@ class Trainer:
         val_loader = datamodule.val_dataloader()
 
         # init from the first batch's shapes
-        first_batch = next(iter(train_loader))
+        try:
+            first_batch = next(iter(train_loader))
+        except StopIteration:
+            raise ValueError(
+                "train dataloader produced no batches — check the dataset "
+                "windowing (e.g. data.sequence_length larger than the scene's "
+                "frame count leaves zero sequences) and the split lists"
+            ) from None
         key, k_init = jax.random.split(key)
         state = task.init_state(k_init, first_batch)
         from .state import param_count

@@ -80,13 +80,20 @@ def predict_tsdf_volume(
     """Dense TSDF volume (nx, ny, nz) at the grid convention of the
     reference's predict_tsdf.
 
-    On TPU with a supported (triplane-only) config this runs the separable
-    fused grid kernel — the production inference path; anything else falls
-    back to the chunked XLA decode."""
+    Three tiers: (1) the Pallas separable grid kernel (TPU, Mosaic-legal
+    tile); (2) the pure-XLA separable decode with the same pre-projected
+    tables (any platform/grid — ~3x the gather path); (3) the chunked
+    gather decode (non-triplane representations)."""
     origin_a = jnp.asarray(origin, jnp.float32)
     if use_fused:
         try:
             return decode_grid_fused(
+                model, variables, repr_, voxel_dim, voxel_size, origin_a
+            )
+        except NotImplementedError:
+            pass
+        try:
+            return decode_grid_separable_xla(
                 model, variables, repr_, voxel_dim, voxel_size, origin_a
             )
         except NotImplementedError:
@@ -96,34 +103,18 @@ def predict_tsdf_volume(
     return tsdf.reshape(voxel_dim)
 
 
-def decode_grid_fused(
-    model: GenNerf,
-    variables,
-    repr_: SceneRepr,
-    voxel_dim: Tuple[int, int, int],
-    voxel_size: float,
-    origin: jnp.ndarray,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Dense decode through the separable Pallas grid kernel
-    (ops/pallas/fused_decoder.fused_grid_decode): triplane sampling factors
-    into per-axis resample matmuls + in-kernel broadcast-adds — zero gathers.
-
-    Raises NotImplementedError when the config/representation is outside the
-    kernel's support; callers fall back to `decode_dense`.
-    """
+def _separable_grid_setup(model: GenNerf, variables, repr_: SceneRepr):
+    """Shared eligibility checks + weight extraction for the separable grid
+    decoders. Raises NotImplementedError when the config/representation is
+    outside the separable-table formulation's support."""
     from ..ops.pallas.fused_decoder import (
         extract_resnetfc_weights,
-        fused_grid_decode,
-        pick_grid_tile,
         supports_fused_decode,
     )
 
     cfg = model.cfg
     if not supports_fused_decode(cfg):
         raise NotImplementedError("unsupported decoder config")
-    if not interpret and jax.devices()[0].platform != "tpu":
-        raise NotImplementedError("fused decode is TPU-only")
     planes = repr_.planes
     if (
         repr_.volume is not None
@@ -131,12 +122,9 @@ def decode_grid_fused(
         or set(planes) != {"xz", "xy", "yz"}
         or cfg.encoder.pointnet.sample_mode != "bilinear"
     ):
-        raise NotImplementedError("grid kernel supports triplane-only scenes")
+        raise NotImplementedError("grid decode supports triplane-only scenes")
     if planes["xz"].shape[0] != 1:
-        raise NotImplementedError("grid kernel decodes one scene at a time")
-    tj = pick_grid_tile(int(voxel_dim[1]), int(voxel_dim[2]))
-    if tj is None:
-        raise NotImplementedError(f"no lane-aligned tile for voxel_dim {voxel_dim}")
+        raise NotImplementedError("grid decode handles one scene at a time")
 
     weights = extract_resnetfc_weights(
         variables["params"]["mlp"],
@@ -154,20 +142,75 @@ def decode_grid_fused(
         extent = [d * cfg.voxel_size for d in cfg.voxel_dim_train]
         coord_center = tuple(e / 2.0 for e in extent)
         coord_scale = float(max(extent))
-    return fused_grid_decode(
-        planes["xz"][0], planes["xy"][0], planes["yz"][0],
-        origin, weights,
-        voxel_dim=tuple(int(d) for d in voxel_dim),
-        voxel_size=float(voxel_size),
+    common = dict(
         n_blocks=cfg.mlp.n_blocks,
         num_freqs=cfg.code.num_freqs,
         freq_factor=float(cfg.code.freq_factor),
         include_input=bool(cfg.code.include_input),
         padding=float(cfg.encoder.pointnet.padding),
-        tj=tj,
-        interpret=interpret,
         coord_center=coord_center,
         coord_scale=coord_scale,
+    )
+    return planes, weights, common
+
+
+def decode_grid_fused(
+    model: GenNerf,
+    variables,
+    repr_: SceneRepr,
+    voxel_dim: Tuple[int, int, int],
+    voxel_size: float,
+    origin: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Dense decode through the separable Pallas grid kernel
+    (ops/pallas/fused_decoder.fused_grid_decode): triplane sampling factors
+    into per-axis resample matmuls, lin_in/lin_z pre-project the tables,
+    and the kernel is pure residual-block matmuls — zero gathers.
+
+    Raises NotImplementedError when the config/representation is outside the
+    kernel's support; callers fall back to `decode_grid_separable_xla` /
+    `decode_dense`.
+    """
+    from ..ops.pallas.fused_decoder import fused_grid_decode, pick_grid_tile
+
+    if not interpret and jax.devices()[0].platform != "tpu":
+        raise NotImplementedError("fused decode is TPU-only")
+    planes, weights, common = _separable_grid_setup(model, variables, repr_)
+    tj = pick_grid_tile(int(voxel_dim[1]), int(voxel_dim[2]))
+    if tj is None:
+        raise NotImplementedError(f"no lane-aligned tile for voxel_dim {voxel_dim}")
+    return fused_grid_decode(
+        planes["xz"][0], planes["xy"][0], planes["yz"][0],
+        origin, weights,
+        voxel_dim=tuple(int(d) for d in voxel_dim),
+        voxel_size=float(voxel_size),
+        tj=tj,
+        interpret=interpret,
+        **common,
+    )
+
+
+def decode_grid_separable_xla(
+    model: GenNerf,
+    variables,
+    repr_: SceneRepr,
+    voxel_dim: Tuple[int, int, int],
+    voxel_size: float,
+    origin: jnp.ndarray,
+) -> jnp.ndarray:
+    """Dense decode with the separable pre-projected tables evaluated in
+    pure XLA (lax.map over x-slabs) — any platform, any grid shape; ~3x the
+    gather-based `decode_dense` on the same hardware (BENCH.md)."""
+    from ..ops.pallas.fused_decoder import separable_grid_decode_xla
+
+    planes, weights, common = _separable_grid_setup(model, variables, repr_)
+    return separable_grid_decode_xla(
+        planes["xz"][0], planes["xy"][0], planes["yz"][0],
+        origin, weights,
+        voxel_dim=tuple(int(d) for d in voxel_dim),
+        voxel_size=float(voxel_size),
+        **common,
     )
 
 

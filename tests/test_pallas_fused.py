@@ -311,6 +311,63 @@ class TestSeparableGridDecode:
         assert pick_grid_tile(7, 5) is None    # no aligned tile -> fallback
 
 
+def test_separable_xla_decode_matches_gather_path(rng):
+    """The pure-XLA separable grid decode (tier 2 of predict_tsdf_volume)
+    matches decode_dense on a grid with NO Mosaic-legal tile — the case the
+    Pallas kernel cannot take."""
+    from gennerf_tpu.train.predict import (
+        decode_dense,
+        decode_grid_separable_xla,
+        dense_grid_points,
+        predict_tsdf_volume,
+    )
+    from gennerf_tpu.train.tasks import GenNerfTask
+    from gennerf_tpu.models.gen_nerf import GenNerf, SceneRepr
+    from gennerf_tpu.ops.pallas.fused_decoder import pick_grid_tile
+
+    cfg = {
+        "type": "GenNerf", "voxel_size": 0.08,
+        "voxel_dim_train": [16, 16, 8], "voxel_dim_val": [16, 16, 8],
+        "voxel_dim_test": [16, 16, 8],
+        "encoder": {"use_spatial": False, "use_pointnet": True,
+                    "pointnet": {"num_sparse_points": 32, "c_dim": 8,
+                                 "hidden_dim": 8, "plane_resolution": 16,
+                                 "n_blocks": 2, "unet": False}},
+        "mlp": {"d_out_sem": 1, "d_out_geo": 8, "n_blocks": 2, "d_hidden": 32},
+    }
+    task = GenNerfTask(cfg)
+    B, T, H, W = 1, 2, 12, 16
+    batch = {
+        "projection": rng.standard_normal((B, T, 3, 4)).astype(np.float32),
+        "image": rng.standard_normal((B, T, 3, H, W)).astype(np.float32),
+        "depth": (rng.random((B, T, H, W)) + 0.5).astype(np.float32),
+        "vol_08_tsdf": rng.uniform(-1, 1, (B, 1, 16, 16, 8)).astype(np.float32),
+    }
+    batch["projection"][:, :, 2, 2] = 1.0
+    state = task.init_state(jax.random.PRNGKey(0), batch)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    repr_, _ = task.model.apply(
+        variables, jnp.asarray(batch["projection"]), jnp.asarray(batch["image"]),
+        jnp.asarray(batch["depth"]), jax.random.PRNGKey(0), (16, 16, 8),
+        jnp.zeros(3), train=False, method=GenNerf.encode, mutable=["batch_stats"])
+    repr_ = SceneRepr(volume=None, valid=repr_.valid,
+                      planes={k: 0.02 * v for k, v in repr_.planes.items()})
+    voxel_dim = (16, 16, 8)  # 128-pt slabs: no 1024-aligned tile exists
+    assert pick_grid_tile(16, 8) is None
+    origin = jnp.asarray([0.05, -0.1, 0.02], jnp.float32)
+    sep = decode_grid_separable_xla(task.model, variables, repr_, voxel_dim, 0.08, origin)
+    pts = dense_grid_points(voxel_dim, 0.08, np.asarray(origin))
+    with jax.default_matmul_precision("highest"):
+        ref = decode_dense(task.model, variables, repr_, pts, origin).reshape(voxel_dim)
+    assert sep.shape == voxel_dim
+    np.testing.assert_allclose(np.asarray(sep), np.asarray(ref), atol=8e-2)
+    assert np.abs(np.asarray(sep) - np.asarray(ref)).mean() < 1e-2
+    # the dispatcher reaches tier 2 for this grid (off-TPU pallas raises)
+    vol = predict_tsdf_volume(task.model, variables, repr_, voxel_dim, 0.08,
+                              np.asarray(origin))
+    np.testing.assert_allclose(np.asarray(vol), np.asarray(sep), atol=1e-6)
+
+
 def test_sharded_grid_decode_matches_single(rng):
     """x-axis-sharded grid decode over the 8-device mesh == single-device
     kernel output exactly (interpret mode)."""
