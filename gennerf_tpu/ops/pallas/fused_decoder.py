@@ -39,25 +39,15 @@ def _mlp_tail(feat, code, w_in_ref, b_in_ref, wz_ref, bz_ref,
     stay f32. lin_out and the TSDF head are pre-folded into one (H, 1)
     matmul (w_last = w_out[:, :d_geo] @ w_head, f32 product at extract
     time) — the semantic columns of lin_out never touch the kernel.
-    """
-    dtype = jnp.bfloat16
-    f32 = jnp.float32
+    The block loop + head are the shared `_blocks_and_head`."""
     alpha = scal_ref[0, 0]
-    b_last = scal_ref[0, 1]
-
-    def dot(a, w):
-        return jax.lax.dot(a.astype(dtype), w.astype(dtype),
-                           preferred_element_type=f32)
-
-    x = dot(feat, w_in_ref[:]) + b_in_ref[:]
-    for i in range(n_blocks):
-        tz = dot(code, wz_ref[i]) + bz_ref[i]
-        x = x + alpha * tz
-        net = dot(jnp.maximum(x, 0.0), w0_ref[i]) + b0_ref[i]
-        dx = dot(jnp.maximum(net, 0.0), w1_ref[i]) + b1_ref[i]
-        x = x + dx
-    out = dot(jnp.maximum(x, 0.0), w_last_ref[:])
-    return jnp.tanh(out + b_last)[:, 0]
+    x = _bf16_dot(feat, w_in_ref[:]) + b_in_ref[:]
+    return _blocks_and_head(
+        x,
+        lambda b: alpha * (_bf16_dot(code, wz_ref[b]) + bz_ref[b]),
+        w0_ref, b0_ref, w1_ref, b1_ref, w_last_ref[:], scal_ref[0, 1],
+        n_blocks=n_blocks,
+    )
 
 
 def _kernel(feat_ref, code_ref, w_in_ref, b_in_ref, wz_ref, bz_ref,
@@ -144,7 +134,11 @@ def extract_resnetfc_weights(mlp_params: dict, head_params: dict, n_blocks: int,
     }
 
 
-@functools.partial(jax.jit, static_argnames=("n_blocks", "tile", "interpret"))
+_POINT_KERNEL_KEYS = (
+    "w_in", "b_in", "wz", "bz", "w0", "b0", "w1", "b1", "w_last", "scal",
+)
+
+
 def fused_resnetfc_tsdf(
     feat: jnp.ndarray,
     code: jnp.ndarray,
@@ -153,7 +147,7 @@ def fused_resnetfc_tsdf(
     tile: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Run the fused decoder.
+    """Run the fused decoder on arbitrary points.
 
     Args:
         feat: (N, d_in) encoder features (the MLP input x).
@@ -164,6 +158,25 @@ def fused_resnetfc_tsdf(
         (N,) TSDF values (tanh'd). Assumes head bias == 0 (its init; the
         caller checks).
     """
+    # only the kernel-side arrays cross the jit boundary — the raw f32
+    # copies (w_in_raw/wz_raw/bz_raw) exist for the grid-table builder and
+    # would otherwise be device-transferred on every call
+    kernel_weights = {k: weights[k] for k in _POINT_KERNEL_KEYS}
+    return _fused_resnetfc_tsdf_jit(
+        feat, code, kernel_weights, n_blocks=n_blocks, tile=tile,
+        interpret=interpret,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_blocks", "tile", "interpret"))
+def _fused_resnetfc_tsdf_jit(
+    feat: jnp.ndarray,
+    code: jnp.ndarray,
+    weights: dict,
+    n_blocks: int,
+    tile: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
     N, d_in = feat.shape
     d_code = code.shape[1]
     H = weights["w_in"].shape[1]
@@ -297,6 +310,29 @@ def _pe_axis_table(c: jnp.ndarray, axis: int, num_freqs: int, freq_factor: float
     return t
 
 
+def _bf16_dot(a, w):
+    """The decoder's MXU feed: bf16 inputs, f32 accumulation."""
+    return jax.lax.dot(a.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+
+
+def _blocks_and_head(x, tz_fn, w0, b0, w1, b1, w_last, b_last, *,
+                     n_blocks: int):
+    """Shared ResnetFC residual-block loop + folded tanh head on
+    pre-projected inputs: x is the lin_in output (f32), tz_fn(b) returns
+    block b's pre-projected latent injection. Single source of truth for
+    BOTH the Pallas grid kernel and the tier-2 XLA slab decode — their
+    numerics must never fork (tests compare the tiers against each other).
+    f32 residual stream; only the MXU feeds round to bf16."""
+    for b in range(n_blocks):
+        x = x + tz_fn(b).astype(jnp.float32)
+        net = _bf16_dot(jnp.maximum(x, 0.0), w0[b]) + b0[b]
+        dx = _bf16_dot(jnp.maximum(net, 0.0), w1[b]) + b1[b]
+        x = x + dx
+    out = _bf16_dot(jnp.maximum(x, 0.0), w_last)
+    return jnp.tanh(out[:, 0] + b_last)
+
+
 def _grid_kernel(qyz_ref, qxz_ref, qxy_ref, zx_ref, zy_ref, zz_ref,
                  w0_ref, b0_ref, w1_ref, b1_ref, w_last_ref, scal_ref,
                  out_ref, *, n_blocks: int, tj: int, nz: int):
@@ -306,14 +342,8 @@ def _grid_kernel(qyz_ref, qxz_ref, qxy_ref, zx_ref, zy_ref, zz_ref,
     in-kernel work is only the H×H residual-block matmuls + the folded head.
     Tables arrive f32 (see _grid_tables); the residual stream stays f32 and
     only the MXU feeds round to bf16."""
-    dtype = jnp.bfloat16
     f32 = jnp.float32
     H = qyz_ref.shape[-1]
-    b_last = scal_ref[0, 1]
-
-    def dot(a, w):
-        return jax.lax.dot(a.astype(dtype), w.astype(dtype),
-                           preferred_element_type=f32)
 
     # x0 = feat @ w_in + b_in, as a broadcast-add of pre-projected tables
     # (b_in is folded into q_yz at table-build time)
@@ -322,20 +352,20 @@ def _grid_kernel(qyz_ref, qxz_ref, qxy_ref, zx_ref, zy_ref, zz_ref,
         + qxz_ref[0][None, :, :]
         + qxy_ref[0][:, None, :]
     ).reshape(tj * nz, H).astype(f32)
-    for i in range(n_blocks):
-        # alpha * (code @ lin_z_i + bz_i), pre-projected per axis
+
+    def tz_fn(b):
+        # alpha * (code @ lin_z_b + bz_b), pre-projected per axis
         # (alpha and bz folded into the tables)
-        tz = (
-            zy_ref[i][:, None, :]
-            + zz_ref[i][None, :, :]
-            + zx_ref[0, i][None, None, :]
+        return (
+            zy_ref[b][:, None, :]
+            + zz_ref[b][None, :, :]
+            + zx_ref[0, b][None, None, :]
         ).reshape(tj * nz, H)
-        x = x + tz.astype(f32)
-        net = dot(jnp.maximum(x, 0.0), w0_ref[i]) + b0_ref[i]
-        dx = dot(jnp.maximum(net, 0.0), w1_ref[i]) + b1_ref[i]
-        x = x + dx
-    out = dot(jnp.maximum(x, 0.0), w_last_ref[:])
-    out_ref[:] = jnp.tanh(out + b_last)[:, 0]
+
+    out_ref[:] = _blocks_and_head(
+        x, tz_fn, w0_ref, b0_ref, w1_ref, b1_ref, w_last_ref[:],
+        scal_ref[0, 1], n_blocks=n_blocks,
+    )
 
 
 def pick_grid_tile(ny: int, nz: int, max_points: int = 4096):
@@ -525,16 +555,19 @@ def fused_grid_decode_sharded(
             n_blocks=n_blocks, tj=tj, interpret=interpret,
         )
 
+    # only the kernel-side weights replicate into the shard_map (the raw
+    # f32 table-builder copies were consumed above in _grid_tables)
+    kweights = {k: weights[k] for k in ("w0", "b0", "w1", "b1", "w_last", "scal")}
     sharded = P(axis_name)
     repl = P()
     out = shard_map(
         local,
         mesh=mesh,
         in_specs=(repl, sharded, sharded, sharded, repl, repl,
-                  jax.tree.map(lambda _: repl, weights)),
+                  jax.tree.map(lambda _: repl, kweights)),
         out_specs=sharded,
         check_rep=False,
-    )(*tables, weights)
+    )(*tables, kweights)
     return out.reshape(nx, ny, nz)
 
 
@@ -576,14 +609,7 @@ def separable_grid_decode_xla(
     )
     q_yz, q_xz, q_xy, z_x, z_y, z_z = tables
     H = q_yz.shape[-1]
-    bf16 = jnp.bfloat16
     f32 = jnp.float32
-    w0 = weights["w0"]
-    b0 = weights["b0"]
-    w1 = weights["w1"]
-    b1 = weights["b1"]
-    w_last = weights["w_last"][:, :1]
-    b_last = weights["scal"][0, 1]
     # per-block z_y[b] + z_z[b] outer sums are x-independent: precompute one
     # (n_blocks, ny*nz, H) tensor and slab-add only z_x inside the map
     tz_yz = (z_y[:, :, None, :] + z_z[:, None, :, :]).reshape(n_blocks, ny * nz, H)
@@ -595,20 +621,12 @@ def separable_grid_decode_xla(
             + qxz_i[None, :, :]
             + qxy_i[:, None, :]
         ).reshape(ny * nz, H).astype(f32)
-        for b in range(n_blocks):
-            x = x + (tz_yz[b] + zx_i[b][None, :]).astype(f32)
-            net = (
-                jnp.dot(jnp.maximum(x, 0.0).astype(bf16), w0[b],
-                        preferred_element_type=f32) + b0[b]
-            )
-            dx = (
-                jnp.dot(jnp.maximum(net, 0.0).astype(bf16), w1[b],
-                        preferred_element_type=f32) + b1[b]
-            )
-            x = x + dx
-        out = jnp.dot(jnp.maximum(x, 0.0).astype(bf16), w_last,
-                      preferred_element_type=f32)
-        return jnp.tanh(out[:, 0] + b_last)
+        return _blocks_and_head(
+            x, lambda b: tz_yz[b] + zx_i[b][None, :],
+            weights["w0"], weights["b0"], weights["w1"], weights["b1"],
+            weights["w_last"][:, :1], weights["scal"][0, 1],
+            n_blocks=n_blocks,
+        )
 
     vols = jax.lax.map(slab, (q_xz, q_xy, z_x))
     return vols.reshape(nx, ny, nz)

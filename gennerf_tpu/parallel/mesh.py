@@ -18,6 +18,9 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+# process-wide once-only flag for the replicated-batch warning
+_REPLICATE_WARNED = False
+
 
 def make_mesh(num_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
     """1-D data-parallel mesh over the first `num_devices` local devices."""
@@ -59,7 +62,29 @@ def make_hybrid_mesh(
     n = num_slices * devices_per_slice
     if n > len(devices):
         raise ValueError(f"requested {n} devices, only {len(devices)} available")
-    grid = np.array(devices[:n]).reshape(num_slices, devices_per_slice)
+    # group by the hardware slice when the platform reports it — relying on
+    # jax.devices() enumeration order would let the 'slice' axis straddle
+    # ICI/DCN boundaries on multi-process/partial-host topologies, putting
+    # the big all-reduce phase on the slow links
+    slice_ids = {getattr(d, "slice_index", None) for d in devices}
+    if len(slice_ids) > 1 and None not in slice_ids:
+        by_slice: dict = {}
+        for d in devices:
+            by_slice.setdefault(d.slice_index, []).append(d)
+        if len(by_slice) < num_slices or any(
+            len(v) < devices_per_slice for v in list(by_slice.values())[:num_slices]
+        ):
+            raise ValueError(
+                f"hardware reports {[len(v) for v in by_slice.values()]} devices "
+                f"per slice; cannot form a ({num_slices}, {devices_per_slice}) mesh"
+            )
+        rows = [
+            by_slice[s][:devices_per_slice]
+            for s in sorted(by_slice)[:num_slices]
+        ]
+        grid = np.array(rows)
+    else:
+        grid = np.array(devices[:n]).reshape(num_slices, devices_per_slice)
     return Mesh(grid, axis_names)
 
 
@@ -80,18 +105,35 @@ def shard_batch(batch, mesh: Mesh, axis_name: Optional[str] = None):
     val batch with drop_last=False) is placed REPLICATED instead: its odd
     shape forces a fresh jit compile either way, and replicated execution
     keeps metrics exact without padding tricks. The reference hits the
-    same case via Lightning's uneven final DDP batch."""
+    same case via Lightning's uneven final DDP batch. A warning fires on
+    the first replicated placement so a systematically non-divisible
+    batch_size (every step silently losing data parallelism) is visible;
+    the datamodule validates batch_size % devices at setup as the primary
+    guard."""
     spec_sharded = P(axis_name) if axis_name is not None else batch_spec(mesh)
     n = (
         mesh.shape[axis_name]
         if axis_name is not None
         else int(np.prod(list(mesh.shape.values())))
     )
+    warned = [_REPLICATE_WARNED]
 
     def put(x):
         sharded = (
             getattr(x, "ndim", 0) >= 1 and x.shape[0] % n == 0 and x.shape[0] > 0
         )
+        if not sharded and getattr(x, "ndim", 0) >= 1 and not warned[0]:
+            warned[0] = True
+            globals()["_REPLICATE_WARNED"] = True
+            import warnings
+
+            warnings.warn(
+                f"batch axis 0 of size {x.shape[0]} is not divisible by the "
+                f"{n}-device mesh; placing it replicated (correct but not "
+                "data-parallel). Expected for a final partial batch; if it "
+                "happens every step, fix data.batch_size.",
+                stacklevel=3,
+            )
         return jax.device_put(x, NamedSharding(mesh, spec_sharded if sharded else P()))
 
     return jax.tree.map(put, batch)

@@ -176,10 +176,12 @@ def decode_grid_fused(
 
     if not interpret and jax.devices()[0].platform != "tpu":
         raise NotImplementedError("fused decode is TPU-only")
-    planes, weights, common = _separable_grid_setup(model, variables, repr_)
+    # cheap check first: a tile-less grid falls through to tier 2 without
+    # paying the weight extraction twice
     tj = pick_grid_tile(int(voxel_dim[1]), int(voxel_dim[2]))
     if tj is None:
         raise NotImplementedError(f"no lane-aligned tile for voxel_dim {voxel_dim}")
+    planes, weights, common = _separable_grid_setup(model, variables, repr_)
     return fused_grid_decode(
         planes["xz"][0], planes["xy"][0], planes["yz"][0],
         origin, weights,
