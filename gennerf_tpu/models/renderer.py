@@ -140,10 +140,29 @@ class SurfaceRenderer:
         return SurfaceRender(depth=depth, points=points, mask=mask, features=feats)
 
     def render_depth_image(self, intrinsics, pose, height: int, width: int) -> jnp.ndarray:
-        """Render a full (B, H, W) depth image (chunks bounded by
-        n_max_network_queries via the fixed pixel grid)."""
+        """Render a full (B, H, W) depth image.
+
+        Pixels process in chunks of n_max_network_queries // n_steps rays
+        through `lax.map` — one marched chunk is the whole compiled body,
+        so program size and peak memory stay bounded at any resolution
+        (reference chunks the same way, renderer.py:172)."""
+        B = intrinsics.shape[0]
+        n = height * width
         hs, ws = jnp.meshgrid(jnp.arange(height), jnp.arange(width), indexing="ij")
-        h = jnp.broadcast_to(hs.reshape(1, -1), (intrinsics.shape[0], height * width))
-        w = jnp.broadcast_to(ws.reshape(1, -1), (intrinsics.shape[0], height * width))
-        render = self.render_pixels(h, w, intrinsics, pose)
-        return render.depth.reshape(-1, height, width)
+        h = jnp.broadcast_to(hs.reshape(1, -1), (B, n))
+        w = jnp.broadcast_to(ws.reshape(1, -1), (B, n))
+        chunk = max(1, min(self.n_max_network_queries // max(self.n_steps, 1), n))
+        if chunk >= n:
+            render = self.render_pixels(h, w, intrinsics, pose)
+            return render.depth.reshape(-1, height, width)
+        pad = (-n) % chunk
+        hp = jnp.pad(h, ((0, 0), (0, pad))).reshape(B, -1, chunk).transpose(1, 0, 2)
+        wp = jnp.pad(w, ((0, 0), (0, pad))).reshape(B, -1, chunk).transpose(1, 0, 2)
+
+        def do_chunk(hw):
+            hc, wc = hw
+            return self.render_pixels(hc, wc, intrinsics, pose).depth
+
+        depth = jax.lax.map(do_chunk, (hp, wp))  # (n_chunks, B, chunk)
+        depth = depth.transpose(1, 0, 2).reshape(B, -1)[:, :n]
+        return depth.reshape(B, height, width)

@@ -133,3 +133,25 @@ class TestSurfaceRenderer:
         assert bool(out.mask[0, 0])  # center pixel hits the sphere
         assert abs(float(out.depth[0, 0]) - 1.5) < 5e-3
         assert out.features.shape == (1, 2, 2)
+
+    def test_render_depth_image_chunking_equivalence(self):
+        """Chunked full-image rendering (n_max_network_queries bound) must
+        equal the single-shot path exactly — the chunk body is the same
+        marched program."""
+        def decode_fn(pts):
+            tsdf = (jnp.linalg.norm(pts, axis=-1) - 0.5)[..., None]
+            return {"tsdf": tsdf, "feat_sem": pts[..., :1]}
+
+        K = jnp.asarray(np.array([[[40.0, 0, 16], [0, 40.0, 12], [0, 0, 1]]], np.float32))
+        pose = jnp.asarray(np.eye(4, dtype=np.float32)[None])
+        pose = pose.at[0, 2, 3].set(-2.0)
+        H, W = 24, 32
+        big = SurfaceRenderer(decode_fn, near=0.1, far=5.0, n_steps=16,
+                              n_max_network_queries=1 << 20)
+        small = SurfaceRenderer(decode_fn, near=0.1, far=5.0, n_steps=16,
+                                n_max_network_queries=16 * 100)  # 100-px chunks (ragged tail)
+        d_big = big.render_depth_image(K, pose, H, W)
+        d_small = small.render_depth_image(K, pose, H, W)
+        assert d_big.shape == (1, H, W)
+        np.testing.assert_allclose(np.asarray(d_small), np.asarray(d_big), atol=1e-6)
+        assert (np.asarray(d_big) > 0).any()
