@@ -13,13 +13,68 @@ import numpy as np
 
 def eval_tsdf(tsdf_pred, tsdf_trgt) -> Dict[str, float]:
     """Masked TSDF L1 (reference metrics.py:24-78): only voxels where the
-    target is observed (trgt < 1) count."""
+    target is observed (trgt < 1) count.
+
+    The reference assumes pred and target share one grid (its predict
+    always decodes the GT volume's grid). Here prediction may be sized
+    from `voxel_dim_test` instead (GT-less predict), so when the grids
+    differ and both sides are TSDF objects, the prediction is resampled at
+    the TARGET's voxel centers in world space (trilinear, out-of-bounds →
+    1.0 = unobserved) before comparing."""
     pred = np.asarray(tsdf_pred.tsdf_vol if hasattr(tsdf_pred, "tsdf_vol") else tsdf_pred)
     trgt = np.asarray(tsdf_trgt.tsdf_vol if hasattr(tsdf_trgt, "tsdf_vol") else tsdf_trgt)
+    if pred.shape != trgt.shape:
+        if not (hasattr(tsdf_pred, "origin") and hasattr(tsdf_trgt, "origin")):
+            raise ValueError(
+                f"pred {pred.shape} vs target {trgt.shape}: raw arrays of "
+                "different shapes cannot be aligned (pass TSDF objects)"
+            )
+        pred = _resample_tsdf_to(tsdf_pred, tsdf_trgt)
     mask = trgt < 1
     if mask.sum() == 0:
         return {"l1": 0.0}
     return {"l1": float(np.abs(pred[mask] - trgt[mask]).mean())}
+
+
+def _resample_tsdf_to(tsdf_pred, tsdf_trgt) -> np.ndarray:
+    """Trilinearly sample pred's volume at trgt's voxel centers (world
+    aligned via each TSDF's origin/voxel_size); outside pred's volume the
+    value is 1.0 (unobserved), matching the target's own convention."""
+    pred = np.asarray(tsdf_pred.tsdf_vol, np.float32)
+    po = np.asarray(tsdf_pred.origin, np.float32).reshape(3)
+    pvs = float(tsdf_pred.voxel_size)
+    to = np.asarray(tsdf_trgt.origin, np.float32).reshape(3)
+    tvs = float(tsdf_trgt.voxel_size)
+    tshape = np.asarray(tsdf_trgt.tsdf_vol).shape
+
+    axes = [to[a] + tvs * np.arange(tshape[a], dtype=np.float32) for a in range(3)]
+    gx, gy, gz = np.meshgrid(*axes, indexing="ij")
+    # continuous voxel coords in pred's grid
+    coords = [(g - po[a]) / pvs for a, g in enumerate((gx, gy, gz))]
+    out = np.ones(tshape, np.float32)
+    lo = [np.floor(c).astype(np.int64) for c in coords]
+    fr = [c - l for c, l in zip(coords, lo)]
+    inb = np.ones(tshape, bool)
+    for a, l in enumerate(lo):
+        inb &= (l >= 0) & (l + 1 <= pred.shape[a] - 1)
+    li = [np.clip(l, 0, pred.shape[a] - 1) for a, l in enumerate(lo)]
+    hi = [np.clip(l + 1, 0, pred.shape[a] - 1) for a, l in enumerate(lo)]
+    acc = np.zeros(tshape, np.float32)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                w = (
+                    (fr[0] if dx else 1 - fr[0])
+                    * (fr[1] if dy else 1 - fr[1])
+                    * (fr[2] if dz else 1 - fr[2])
+                )
+                acc += w * pred[
+                    hi[0] if dx else li[0],
+                    hi[1] if dy else li[1],
+                    hi[2] if dz else li[2],
+                ]
+    out[inb] = acc[inb]
+    return out
 
 
 def _nn_distances(queries: np.ndarray, targets: np.ndarray) -> np.ndarray:

@@ -60,6 +60,44 @@ class TestTsdfL1:
         assert out["l1"] == pytest.approx(0.2)
 
 
+class TestTsdfCrossGrid:
+    def test_mismatched_grids_resample_world_aligned(self):
+        """eval_tsdf with pred/target on DIFFERENT grids: pred is resampled
+        at the target's voxel centers in world space (GT-less predict sizes
+        from voxel_dim_test, so grids legitimately differ)."""
+        from gennerf_tpu.tsdf import TSDF
+
+        def sphere_tsdf(origin, vs, shape):
+            ax = [origin[a] + vs * np.arange(shape[a]) for a in range(3)]
+            gx, gy, gz = np.meshgrid(*ax, indexing="ij")
+            d = np.sqrt(gx**2 + gy**2 + gz**2) - 0.5
+            return np.clip(d / 0.12, -1, 1).astype(np.float32)
+
+        # fine prediction grid, coarser shifted target grid
+        po, pvs, pshape = np.array([-1.0, -1.0, -1.0]), 0.05, (40, 40, 40)
+        to, tvs, tshape = np.array([-0.9, -0.85, -0.8]), 0.08, (22, 21, 20)
+        pred = TSDF(np.float32(pvs), po.astype(np.float32), sphere_tsdf(po, pvs, pshape))
+        trgt = TSDF(np.float32(tvs), to.astype(np.float32), sphere_tsdf(to, tvs, tshape))
+        m = eval_tsdf(pred, trgt)
+        # same underlying SDF -> only interpolation error remains
+        assert m["l1"] < 0.05, m
+
+        # raw arrays of different shapes cannot align -> explicit error
+        with pytest.raises(ValueError):
+            eval_tsdf(np.zeros((4, 4, 4)), np.zeros((5, 5, 5)))
+
+    def test_out_of_bounds_region_counts_as_unobserved(self):
+        from gennerf_tpu.tsdf import TSDF
+
+        # tiny pred volume far away from the target: resample -> all 1.0
+        pred = TSDF(np.float32(0.1), np.array([10.0, 10, 10], np.float32),
+                    np.zeros((4, 4, 4), np.float32))
+        tvol = np.full((6, 6, 6), 0.5, np.float32)
+        trgt = TSDF(np.float32(0.1), np.zeros(3, np.float32), tvol)
+        m = eval_tsdf(pred, trgt)
+        assert m["l1"] == pytest.approx(0.5)
+
+
 class TestDepthMetrics:
     def test_perfect_prediction(self):
         d = np.random.default_rng(0).random((10, 12)).astype(np.float32) + 0.5
