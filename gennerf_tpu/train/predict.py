@@ -14,6 +14,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.gen_nerf import GenNerf, SceneRepr
 from ..ops.coords import grid_coordinates
@@ -76,16 +77,27 @@ def predict_tsdf_volume(
     origin,
     chunk_size: int = 32768,
     use_fused: bool = True,
+    mesh=None,
 ) -> jnp.ndarray:
     """Dense TSDF volume (nx, ny, nz) at the grid convention of the
     reference's predict_tsdf.
 
-    Three tiers: (1) the Pallas separable grid kernel (TPU, Mosaic-legal
-    tile); (2) the pure-XLA separable decode with the same pre-projected
-    tables (any platform/grid — ~3x the gather path); (3) the chunked
-    gather decode (non-triplane representations)."""
+    Tiers: (0) with a multi-device `mesh`, the x-slab-sharded Pallas grid
+    kernel (zero collectives); (1) the single-device Pallas separable grid
+    kernel (TPU, Mosaic-legal tile); (2) the pure-XLA separable decode
+    with the same pre-projected tables (any platform/grid — ~3x the
+    gather path); (3) the chunked gather decode (non-triplane
+    representations)."""
     origin_a = jnp.asarray(origin, jnp.float32)
     if use_fused:
+        if mesh is not None and int(np.prod(list(mesh.shape.values()))) > 1:
+            try:
+                return decode_grid_fused_sharded(
+                    model, variables, repr_, voxel_dim, voxel_size, origin_a,
+                    mesh,
+                )
+            except NotImplementedError:
+                pass
         try:
             return decode_grid_fused(
                 model, variables, repr_, voxel_dim, voxel_size, origin_a
@@ -188,6 +200,56 @@ def decode_grid_fused(
         voxel_dim=tuple(int(d) for d in voxel_dim),
         voxel_size=float(voxel_size),
         tj=tj,
+        interpret=interpret,
+        **common,
+    )
+
+
+def decode_grid_fused_sharded(
+    model: GenNerf,
+    variables,
+    repr_: SceneRepr,
+    voxel_dim: Tuple[int, int, int],
+    voxel_size: float,
+    origin: jnp.ndarray,
+    mesh,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Multi-chip dense decode: the grid's x axis shards over the mesh and
+    each device runs the grid kernel on its slab — zero collectives
+    (ops/pallas/fused_decoder.fused_grid_decode_sharded).
+
+    Raises NotImplementedError when outside the kernel's support (callers
+    fall back to the single-device tiers)."""
+    from ..ops.pallas.fused_decoder import (
+        fused_grid_decode_sharded,
+        pick_grid_tile,
+    )
+
+    if not interpret and jax.devices()[0].platform != "tpu":
+        raise NotImplementedError("fused decode is TPU-only")
+    if len(mesh.axis_names) != 1:
+        raise NotImplementedError(
+            "sharded grid decode shards one mesh axis; flatten hybrid "
+            "meshes for inference"
+        )
+    axis = mesh.axis_names[0]
+    n_dev = mesh.shape[axis]
+    if int(voxel_dim[0]) % n_dev:
+        raise NotImplementedError(
+            f"nx={voxel_dim[0]} not divisible by {n_dev} devices"
+        )
+    tj = pick_grid_tile(int(voxel_dim[1]), int(voxel_dim[2]))
+    if tj is None:
+        raise NotImplementedError(f"no lane-aligned tile for voxel_dim {voxel_dim}")
+    planes, weights, common = _separable_grid_setup(model, variables, repr_)
+    return fused_grid_decode_sharded(
+        planes["xz"][0], planes["xy"][0], planes["yz"][0],
+        origin, weights, mesh,
+        voxel_dim=tuple(int(d) for d in voxel_dim),
+        voxel_size=float(voxel_size),
+        tj=tj,
+        axis_name=axis,
         interpret=interpret,
         **common,
     )

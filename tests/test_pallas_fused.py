@@ -413,3 +413,61 @@ def test_sharded_grid_decode_matches_single(rng):
     # eagerly — f32 reassociation differences of ~1e-4 are expected
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
                                atol=1e-3)
+
+
+def test_predict_sharded_tier_matches_single(rng):
+    """decode_grid_fused_sharded (tier 0 of predict_tsdf_volume, reached
+    with a multi-device mesh) equals the single-device kernel; the
+    dispatcher with a mesh on CPU falls back cleanly."""
+    import jax
+    from jax.sharding import Mesh
+
+    from gennerf_tpu.train.predict import (
+        decode_grid_fused,
+        decode_grid_fused_sharded,
+        predict_tsdf_volume,
+    )
+    from gennerf_tpu.train.tasks import GenNerfTask
+    from gennerf_tpu.models.gen_nerf import GenNerf, SceneRepr
+
+    cfg = {
+        "type": "GenNerf", "voxel_size": 0.08,
+        "voxel_dim_train": [16, 16, 8], "voxel_dim_val": [16, 16, 8],
+        "voxel_dim_test": [16, 16, 8],
+        "encoder": {"use_spatial": False, "use_pointnet": True,
+                    "pointnet": {"num_sparse_points": 32, "c_dim": 8,
+                                 "hidden_dim": 8, "plane_resolution": 16,
+                                 "n_blocks": 2, "unet": False}},
+        "mlp": {"d_out_sem": 1, "d_out_geo": 8, "n_blocks": 2, "d_hidden": 32},
+    }
+    task = GenNerfTask(cfg)
+    B, T, H, W = 1, 2, 12, 16
+    batch = {
+        "projection": rng.standard_normal((B, T, 3, 4)).astype(np.float32),
+        "image": rng.standard_normal((B, T, 3, H, W)).astype(np.float32),
+        "depth": (rng.random((B, T, H, W)) + 0.5).astype(np.float32),
+        "vol_08_tsdf": rng.uniform(-1, 1, (B, 1, 16, 16, 8)).astype(np.float32),
+    }
+    batch["projection"][:, :, 2, 2] = 1.0
+    state = task.init_state(jax.random.PRNGKey(0), batch)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    repr_, _ = task.model.apply(
+        variables, jnp.asarray(batch["projection"]), jnp.asarray(batch["image"]),
+        jnp.asarray(batch["depth"]), jax.random.PRNGKey(0), (16, 16, 8),
+        jnp.zeros(3), train=False, method=GenNerf.encode, mutable=["batch_stats"])
+    repr_ = SceneRepr(volume=None, valid=repr_.valid,
+                      planes={k: 0.02 * v for k, v in repr_.planes.items()})
+    voxel_dim = (16, 16, 64)  # tj=16, nx divisible by 8
+    origin = jnp.asarray([0.05, -0.1, 0.02], jnp.float32)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    sharded = decode_grid_fused_sharded(
+        task.model, variables, repr_, voxel_dim, 0.08, origin, mesh,
+        interpret=True)
+    single = decode_grid_fused(
+        task.model, variables, repr_, voxel_dim, 0.08, origin, interpret=True)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), atol=1e-3)
+    # dispatcher: mesh given but platform is CPU -> tier-0 raises inside,
+    # falls back without error
+    vol = predict_tsdf_volume(task.model, variables, repr_, voxel_dim, 0.08,
+                              np.asarray(origin), mesh=mesh)
+    assert vol.shape == voxel_dim
