@@ -72,22 +72,39 @@ def main():
     state = create_train_state(variables, tx)
     train_step = make_gen_nerf_train_step(model, cfg, tx)
 
-    def timeit(name, fn, n=5):
-        out = fn()
-        jax.tree.map(lambda x: float(np.asarray(x).sum()) if hasattr(x, "sum") else x,
-                     jax.tree.leaves(out)[:1])
+    def timeit(name, fn, n=3, rep=10):
+        """Chained timing: iteration i+1's input is perturbed by iteration
+        i's output (fn takes an eps scalar), so `rep` launches pipeline
+        on-device and ONE host fetch amortizes the ~50 ms tunnel round
+        trip. Unchained per-call timing over-reports small ops severalfold
+        (BENCH.md measurement notes)."""
+        e = fn(jnp.float32(0.0)).sum().astype(jnp.float32) * 1e-20
+        float(e)  # compile + warmup
         times = []
         for _ in range(n):
+            e = jnp.float32(0.0)
             t0 = time.perf_counter()
-            out = fn()
-            jax.tree.map(lambda x: float(np.asarray(x).sum()) if hasattr(x, "sum") else x,
-                         jax.tree.leaves(out)[:1])
-            times.append(time.perf_counter() - t0)
+            for _ in range(rep):
+                e = fn(e).sum().astype(jnp.float32) * 1e-20
+            float(e)
+            times.append((time.perf_counter() - t0) / rep)
         print(f"{name:<42s} {min(times)*1000:8.1f} ms")
-        return out
 
-    # full step
-    timeit("train step (fwd+bwd+Adam)", lambda: train_step(state, batch, key)[1]["combined"])
+    def perturbed(eps):
+        return dict(batch, image=batch["image"] + eps)
+
+    # full step: thread the STATE through successive steps (the real
+    # training pipeline), one fetch per rep block
+    s_chain = [state]
+
+    def step_once(eps):
+        s2, m = train_step(s_chain[0], perturbed(eps), key)
+        s_chain[0] = s2
+        return m["combined"]
+
+    s_chain[0] = state
+    timeit("train step (fwd+bwd+Adam)", step_once)
+    s_chain[0] = state
 
     # forward loss only
     @jax.jit
@@ -97,7 +114,7 @@ def main():
             tuple(cfg.voxel_dim_train), train=True)
         return loss
 
-    timeit("forward loss", lambda: fwd(state.params, batch, key))
+    timeit("forward loss", lambda eps: fwd(state.params, perturbed(eps), key))
 
     # encode only
     @jax.jit
@@ -108,7 +125,7 @@ def main():
                                train=True, method=_G.encode, mutable=["batch_stats"])
         return repr_.planes["xz"]
 
-    repr_planes = timeit("encode (FPS + pointnet + unet)", lambda: enc(state.params, batch, key))
+    timeit("encode (FPS + pointnet + unet)", lambda eps: enc(state.params, perturbed(eps), key))
 
     # FPS alone (with presample)
     from gennerf_tpu.ops.projection import get_3d_points
@@ -127,7 +144,8 @@ def main():
         sparse, _ = farthest_point_sample(key, xyz, cfg.encoder.pointnet.num_sparse_points)
         return sparse
 
-    sparse = timeit("unproject + presample + FPS", lambda: fps_only(batch, key))
+    timeit("unproject + presample + FPS", lambda eps: fps_only(perturbed(eps), key))
+    sparse = fps_only(batch, key)
 
     @jax.jit
     def pointnet_only(params, sparse):
@@ -136,14 +154,14 @@ def main():
         return model.apply({"params": params, "batch_stats": state.batch_stats},
                            accum, method=lambda m, p: m.pointnet(p))["xz"]
 
-    timeit("pointnet + unet (given sparse pts)", lambda: pointnet_only(state.params, sparse))
+    timeit("pointnet + unet (given sparse pts)", lambda eps: pointnet_only(state.params, sparse + eps))
 
     @jax.jit
     def sampling_only(batch, key):
         sup = sample_supervision_points(cfg, batch, key)
         return sup["xyz"]
 
-    timeit("supervision sampling (rays+normals)", lambda: sampling_only(batch, key))
+    timeit("supervision sampling (rays+normals)", lambda eps: sampling_only(perturbed(eps), key))
 
     # decode fwd only at training point count
     @jax.jit
@@ -159,7 +177,7 @@ def main():
                           repr_, xyz, jnp.zeros(3), method=_G.decode)
         return out["tsdf"]
 
-    timeit("encode + sampling + decode (no loss/bwd)", lambda: decode_only(state.params, batch, key))
+    timeit("encode + sampling + decode (no loss/bwd)", lambda eps: decode_only(state.params, perturbed(eps), key))
 
     if args.trace:
         jax.profiler.start_trace(args.trace)
