@@ -129,6 +129,16 @@ class ScannetDataModule:
         else:
             self.voxel_sizes = [base]
         self.frame_types = ["depth"]
+        # opt-in decoded-item cache for the overfit/one-scene loops where
+        # every epoch re-reads identical frames/volumes; numerics-identical
+        # (same decoded bytes). True = sensible defaults; an int sets the
+        # frame capacity directly.
+        cache = c.get("cache_items", False)
+        if cache:
+            from .datasets import configure_item_cache
+
+            frames_cap = 2048 if cache is True else int(cache)
+            configure_item_cache(frames=frames_cap, volumes=64)
         # global batch must divide by device count (reference datamodule.py:100-106
         # divides by world size; under jit-sharding we keep the global size and
         # shard axis 0, so we only validate divisibility)

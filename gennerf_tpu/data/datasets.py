@@ -11,6 +11,8 @@ import io
 import json
 import os
 import tarfile
+import threading
+from collections import OrderedDict
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -19,6 +21,54 @@ from PIL import Image
 from ..tsdf import TSDF
 
 DEPTH_SHIFT = 1000.0
+
+
+class _BlobCache:
+    """Thread-safe LRU for decoded frames / GT volumes (capacity 0 = off).
+
+    The overfit/one-scene research loop (reference FrameDataset /
+    OneSceneDataset) re-decodes the SAME jpg/png frames and re-reads the
+    same npz volume every epoch; caching the decoded blobs is
+    numerics-identical (same bytes) and removes that IO from the epoch.
+    Opt-in via `data.cache_items` (datamodule)."""
+
+    def __init__(self):
+        self.cap = 0
+        self._d: "OrderedDict[str, object]" = OrderedDict()
+        self._lock = threading.Lock()
+
+    def configure(self, capacity: int) -> None:
+        with self._lock:
+            self.cap = int(capacity)
+            if self.cap <= 0:
+                self._d.clear()
+
+    def get(self, key):
+        with self._lock:
+            if self.cap <= 0 or key not in self._d:
+                return None
+            self._d.move_to_end(key)
+            return self._d[key]
+
+    def put(self, key, val) -> None:
+        with self._lock:
+            if self.cap <= 0:
+                return
+            self._d[key] = val
+            self._d.move_to_end(key)
+            while len(self._d) > self.cap:
+                self._d.popitem(last=False)
+
+
+_frame_cache = _BlobCache()
+_volume_cache = _BlobCache()
+
+
+def configure_item_cache(frames: int = 0, volumes: int = 0) -> None:
+    """Enable/disable the decoded-frame and GT-volume caches (process-wide;
+    capacities in items)."""
+    _frame_cache.configure(frames)
+    _volume_cache.configure(volumes)
 
 
 def load_info_json(json_file: str) -> dict:
@@ -44,14 +94,34 @@ def _load_image(path: str, from_archive: bool) -> Image.Image:
     return open_from_archive(path) if from_archive else Image.open(path)
 
 
+def _cached_image(path: str, loader) -> Image.Image:
+    """Fetch a decoded image through the frame cache; `loader()` produces
+    the PIL image on miss. Cache stores (array, mode); hits rebuild a
+    fresh Image so downstream transforms can't alias across items."""
+    hit = _frame_cache.get(path)
+    if hit is not None:
+        arr, mode = hit
+        return Image.fromarray(arr.copy(), mode)
+    img = loader()
+    if _frame_cache.cap > 0:
+        _frame_cache.put(path, (np.array(img), img.mode))
+    return img
+
+
 def map_frame(frame: dict, frame_types: Sequence[str] = (), from_archive: bool = True) -> dict:
     """Load images + metadata of one frame (reference data.py:47-83)."""
     data = dict(frame)
-    data["image"] = _load_image(frame["file_name_image"], from_archive)
+    data["image"] = _cached_image(
+        frame["file_name_image"],
+        lambda: _load_image(frame["file_name_image"], from_archive),
+    )
     if "depth" in frame_types:
-        depth = _load_image(frame["file_name_depth"], from_archive)
-        depth = np.array(depth, dtype=np.float32) / DEPTH_SHIFT
-        data["depth"] = Image.fromarray(depth)
+        def load_depth():
+            depth = _load_image(frame["file_name_depth"], from_archive)
+            depth = np.array(depth, dtype=np.float32) / DEPTH_SHIFT
+            return Image.fromarray(depth)
+
+        data["depth"] = _cached_image(frame["file_name_depth"], load_depth)
     data["intrinsics"] = np.array(frame["intrinsics"], dtype=np.float32)
     data["pose"] = np.array(frame["pose"], dtype=np.float32)
     return data
@@ -63,25 +133,43 @@ def map_frames(frames: List[dict], frame_ids, frame_types=(), from_archive=True)
     if from_archive and frames_data:
         for is_depth in ([False, True] if "depth" in frame_types else [False]):
             key = "file_name_depth" if is_depth else "file_name_image"
-            dir_path, _ = os.path.split(frames_data[0][key])
+            out_key = "depth" if is_depth else "image"
+            misses = []
+            for data in frames_data:
+                hit = _frame_cache.get(data[key])
+                if hit is not None:
+                    arr, mode = hit
+                    data[out_key] = Image.fromarray(arr.copy(), mode)
+                else:
+                    misses.append(data)
+            if not misses:
+                continue
+            dir_path, _ = os.path.split(misses[0][key])
             tar_path = os.path.join(dir_path, os.path.basename(dir_path) + ".tar")
             with tarfile.open(tar_path, "r") as tar_file:
-                for data in frames_data:
+                for data in misses:
                     name = os.path.split(data[key])[1]
                     raw = tar_file.extractfile(tar_file.getmember(name)).read()
                     img = Image.open(io.BytesIO(raw))
                     img.load()
                     if is_depth:
                         arr = np.array(img, dtype=np.float32) / DEPTH_SHIFT
-                        data["depth"] = Image.fromarray(arr)
-                    else:
-                        data["image"] = img
+                        img = Image.fromarray(arr)
+                    data[out_key] = img
+                    if _frame_cache.cap > 0:
+                        _frame_cache.put(data[key], (np.array(img), img.mode))
     elif not from_archive:
         for data in frames_data:
-            data["image"] = Image.open(data["file_name_image"])
+            data["image"] = _cached_image(
+                data["file_name_image"],
+                lambda p=data["file_name_image"]: Image.open(p),
+            )
             if "depth" in frame_types:
-                arr = np.array(Image.open(data["file_name_depth"]), dtype=np.float32) / DEPTH_SHIFT
-                data["depth"] = Image.fromarray(arr)
+                def load_depth(p=data["file_name_depth"]):
+                    arr = np.array(Image.open(p), dtype=np.float32) / DEPTH_SHIFT
+                    return Image.fromarray(arr)
+
+                data["depth"] = _cached_image(data["file_name_depth"], load_depth)
     for data in frames_data:
         data["intrinsics"] = np.array(data["intrinsics"], dtype=np.float32)
         data["pose"] = np.array(data["pose"], dtype=np.float32)
@@ -89,10 +177,18 @@ def map_frames(frames: List[dict], frame_ids, frame_types=(), from_archive=True)
 
 
 def map_tsdf(info: dict, data: dict, voxel_types, voxel_sizes) -> dict:
-    """Load GT TSDF volumes (reference data.py:134-153)."""
+    """Load GT TSDF volumes (reference data.py:134-153). Cached TSDF
+    objects are shared safely: their arrays are immutable jnp buffers and
+    every transform returns a new TSDF."""
     if len(voxel_types) > 0:
         for scale in voxel_sizes:
-            data["vol_%02d" % scale] = TSDF.load(info["file_name_vol_%02d" % scale], list(voxel_types))
+            fname = info["file_name_vol_%02d" % scale]
+            key = f"{fname}|{','.join(sorted(voxel_types))}"
+            vol = _volume_cache.get(key)
+            if vol is None:
+                vol = TSDF.load(fname, list(voxel_types))
+                _volume_cache.put(key, vol)
+            data["vol_%02d" % scale] = vol
     return data
 
 

@@ -190,3 +190,45 @@ class TestHybridMeshTrainer:
 
         with pytest.raises(ValueError):
             Trainer(devices=8, num_slices=3, output_dir=str(tmp_path))
+
+
+class TestItemCache:
+    def test_cached_items_identical_and_faster_io(self, tmp_path):
+        """data.cache_items: cached reload returns byte-identical frames
+        and volumes, and skips the tar/npz IO."""
+        from gennerf_tpu.data.datasets import (
+            FrameDataset,
+            configure_item_cache,
+            _frame_cache,
+        )
+        from gennerf_tpu.data.synthetic import generate_scene
+
+        root = str(tmp_path / "d")
+        info = generate_scene(root, num_frames=3, H=24, W=32, voxel_sizes=(8,),
+                              use_tar=True)
+        try:
+            ds = FrameDataset([info], frame_idx=1, length=4,
+                              frame_types=["depth"],
+                              voxel_types=["tsdf"], voxel_sizes=[8])
+            configure_item_cache(frames=0, volumes=0)
+            cold = ds[0]
+            configure_item_cache(frames=64, volumes=8)
+            warm0 = ds[0]   # miss -> populate
+            assert len(_frame_cache._d) > 0
+            warm1 = ds[0]   # hit
+            for key in ("image", "depth"):
+                np.testing.assert_array_equal(
+                    np.array(cold["frames"][0][key]),
+                    np.array(warm1["frames"][0][key]),
+                )
+            np.testing.assert_array_equal(
+                np.asarray(cold["vol_08"].tsdf_vol),
+                np.asarray(warm1["vol_08"].tsdf_vol),
+            )
+            # hits don't alias: mutating one item's arrays must not leak
+            a = np.array(warm1["frames"][0]["image"])
+            a[:] = 0
+            again = ds[0]
+            assert np.array(again["frames"][0]["image"]).any()
+        finally:
+            configure_item_cache(0, 0)
