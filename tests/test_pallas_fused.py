@@ -471,3 +471,42 @@ def test_predict_sharded_tier_matches_single(rng):
     vol = predict_tsdf_volume(task.model, variables, repr_, voxel_dim, 0.08,
                               np.asarray(origin), mesh=mesh)
     assert vol.shape == voxel_dim
+
+
+class TestPallasFPS:
+    def test_indices_identical_to_xla(self, rng):
+        """The in-kernel FPS must reproduce the XLA fori_loop indices
+        EXACTLY (same start-point key consumption, same first-occurrence
+        argmax ties)."""
+        from gennerf_tpu.ops.pallas.fps import fps_pallas
+        from gennerf_tpu.ops.sampling import farthest_point_sample
+
+        for B, N, npoint in ((8, 256, 32), (8, 384, 17)):
+            xyz = jnp.asarray(rng.standard_normal((B, N, 3)).astype(np.float32))
+            key = jax.random.PRNGKey(5)
+            _, c_ref = farthest_point_sample(key, xyz, npoint, use_pallas=False)
+            s_k, c_k = fps_pallas(key, xyz, npoint, interpret=True)
+            np.testing.assert_array_equal(np.asarray(c_ref), np.asarray(c_k))
+            assert s_k.shape == (B, npoint, 3)
+
+    def test_duplicate_points_tie_breaking(self, rng):
+        """Duplicated points (the masked-invalid convention) never break
+        equality with the XLA path."""
+        from gennerf_tpu.ops.pallas.fps import fps_pallas
+        from gennerf_tpu.ops.sampling import farthest_point_sample
+
+        B, N, npoint = 8, 128, 16
+        base = rng.standard_normal((B, N // 2, 3)).astype(np.float32)
+        xyz = jnp.asarray(np.concatenate([base, base], axis=1))
+        key = jax.random.PRNGKey(2)
+        _, c_ref = farthest_point_sample(key, xyz, npoint, use_pallas=False)
+        _, c_k = fps_pallas(key, xyz, npoint, interpret=True)
+        np.testing.assert_array_equal(np.asarray(c_ref), np.asarray(c_k))
+
+    def test_supported_gate(self):
+        from gennerf_tpu.ops.pallas.fps import fps_pallas_supported
+
+        assert fps_pallas_supported(8, 4096)      # flagship presample
+        assert not fps_pallas_supported(7, 4096)  # sublane misfit
+        assert not fps_pallas_supported(8, 100)   # lane misfit
+        assert not fps_pallas_supported(8, 1 << 20)  # VMEM blowout
