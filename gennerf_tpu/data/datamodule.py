@@ -134,11 +134,15 @@ class ScannetDataModule:
         # (same decoded bytes). True = sensible defaults; an int sets the
         # frame capacity directly.
         cache = c.get("cache_items", False)
-        if cache:
-            from .datasets import configure_item_cache
+        from .datasets import configure_item_cache
 
+        if cache:
             frames_cap = 2048 if cache is True else int(cache)
             configure_item_cache(frames=frames_cap, volumes=64)
+        else:
+            # the cache is process-global: an opted-out datamodule must
+            # also tear down whatever a previous one enabled
+            configure_item_cache(frames=0, volumes=0)
         # global batch must divide by device count (reference datamodule.py:100-106
         # divides by world size; under jit-sharding we keep the global size and
         # shard axis 0, so we only validate divisibility)

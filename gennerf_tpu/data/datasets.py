@@ -94,6 +94,12 @@ def _load_image(path: str, from_archive: bool) -> Image.Image:
     return open_from_archive(path) if from_archive else Image.open(path)
 
 
+# modes whose pixel data round-trips exactly through (np.array, mode);
+# palettized 'P' (and other exotic) images carry non-array state that
+# Image.fromarray would drop, so they bypass the cache
+_CACHEABLE_MODES = {"RGB", "RGBA", "L", "LA", "F", "I", "I;16"}
+
+
 def _cached_image(path: str, loader) -> Image.Image:
     """Fetch a decoded image through the frame cache; `loader()` produces
     the PIL image on miss. Cache stores (array, mode); hits rebuild a
@@ -103,7 +109,7 @@ def _cached_image(path: str, loader) -> Image.Image:
         arr, mode = hit
         return Image.fromarray(arr.copy(), mode)
     img = loader()
-    if _frame_cache.cap > 0:
+    if _frame_cache.cap > 0 and img.mode in _CACHEABLE_MODES:
         _frame_cache.put(path, (np.array(img), img.mode))
     return img
 
@@ -156,7 +162,7 @@ def map_frames(frames: List[dict], frame_ids, frame_types=(), from_archive=True)
                         arr = np.array(img, dtype=np.float32) / DEPTH_SHIFT
                         img = Image.fromarray(arr)
                     data[out_key] = img
-                    if _frame_cache.cap > 0:
+                    if _frame_cache.cap > 0 and img.mode in _CACHEABLE_MODES:
                         _frame_cache.put(data[key], (np.array(img), img.mode))
     elif not from_archive:
         for data in frames_data:

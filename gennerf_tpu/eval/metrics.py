@@ -17,14 +17,27 @@ def eval_tsdf(tsdf_pred, tsdf_trgt) -> Dict[str, float]:
 
     The reference assumes pred and target share one grid (its predict
     always decodes the GT volume's grid). Here prediction may be sized
-    from `voxel_dim_test` instead (GT-less predict), so when the grids
-    differ and both sides are TSDF objects, the prediction is resampled at
-    the TARGET's voxel centers in world space (trilinear, out-of-bounds →
-    1.0 = unobserved) before comparing."""
+    from `voxel_dim_test` instead (GT-less predict), so when the GRIDS
+    differ (shape, origin, or voxel size) and both sides are TSDF
+    objects, the prediction is resampled at the TARGET's voxel centers in
+    world space (trilinear, out-of-bounds → 1.0 = unobserved) before
+    comparing."""
     pred = np.asarray(tsdf_pred.tsdf_vol if hasattr(tsdf_pred, "tsdf_vol") else tsdf_pred)
     trgt = np.asarray(tsdf_trgt.tsdf_vol if hasattr(tsdf_trgt, "tsdf_vol") else tsdf_trgt)
-    if pred.shape != trgt.shape:
-        if not (hasattr(tsdf_pred, "origin") and hasattr(tsdf_trgt, "origin")):
+    have_grids = hasattr(tsdf_pred, "origin") and hasattr(tsdf_trgt, "origin")
+    grids_differ = pred.shape != trgt.shape or (
+        have_grids
+        and (
+            not np.allclose(
+                np.asarray(tsdf_pred.origin).reshape(3),
+                np.asarray(tsdf_trgt.origin).reshape(3),
+                atol=1e-6,
+            )
+            or abs(float(tsdf_pred.voxel_size) - float(tsdf_trgt.voxel_size)) > 1e-9
+        )
+    )
+    if grids_differ:
+        if not have_grids:
             raise ValueError(
                 f"pred {pred.shape} vs target {trgt.shape}: raw arrays of "
                 "different shapes cannot be aligned (pass TSDF objects)"
@@ -36,27 +49,41 @@ def eval_tsdf(tsdf_pred, tsdf_trgt) -> Dict[str, float]:
     return {"l1": float(np.abs(pred[mask] - trgt[mask]).mean())}
 
 
-def _resample_tsdf_to(tsdf_pred, tsdf_trgt) -> np.ndarray:
+def _resample_tsdf_to(tsdf_pred, tsdf_trgt, pred_convention: str = "linspace") -> np.ndarray:
     """Trilinearly sample pred's volume at trgt's voxel centers (world
-    aligned via each TSDF's origin/voxel_size); outside pred's volume the
-    value is 1.0 (unobserved), matching the target's own convention."""
+    aligned); outside pred's volume the value is 1.0 (unobserved),
+    matching the target's own convention.
+
+    `pred_convention`: where pred's samples actually live. Decoded volumes
+    (the only cross-grid producers here) query the reference's
+    `linspace(0, voxel_size*n, n)` grid — per-axis spacing
+    voxel_size*n/(n-1), NOT voxel_size (reference utils.py:926-935;
+    ops/coords.grid_coordinates) — while fused GT volumes use
+    `arange*voxel_size`. Using the true spacing avoids a misregistration
+    growing to one full voxel at the far boundary."""
     pred = np.asarray(tsdf_pred.tsdf_vol, np.float32)
     po = np.asarray(tsdf_pred.origin, np.float32).reshape(3)
     pvs = float(tsdf_pred.voxel_size)
     to = np.asarray(tsdf_trgt.origin, np.float32).reshape(3)
     tvs = float(tsdf_trgt.voxel_size)
     tshape = np.asarray(tsdf_trgt.tsdf_vol).shape
+    if pred_convention == "linspace":
+        spacing = [pvs * n / max(n - 1, 1) for n in pred.shape]
+    else:
+        spacing = [pvs] * 3
 
     axes = [to[a] + tvs * np.arange(tshape[a], dtype=np.float32) for a in range(3)]
     gx, gy, gz = np.meshgrid(*axes, indexing="ij")
     # continuous voxel coords in pred's grid
-    coords = [(g - po[a]) / pvs for a, g in enumerate((gx, gy, gz))]
+    coords = [(g - po[a]) / spacing[a] for a, g in enumerate((gx, gy, gz))]
     out = np.ones(tshape, np.float32)
     lo = [np.floor(c).astype(np.int64) for c in coords]
     fr = [c - l for c, l in zip(coords, lo)]
     inb = np.ones(tshape, bool)
-    for a, l in enumerate(lo):
-        inb &= (l >= 0) & (l + 1 <= pred.shape[a] - 1)
+    for a, c in enumerate(coords):
+        # a coordinate exactly on the last voxel plane is in bounds
+        # (fr == 0 there makes the interpolation exact)
+        inb &= (c >= 0) & (c <= pred.shape[a] - 1 + 1e-6)
     li = [np.clip(l, 0, pred.shape[a] - 1) for a, l in enumerate(lo)]
     hi = [np.clip(l + 1, 0, pred.shape[a] - 1) for a, l in enumerate(lo)]
     acc = np.zeros(tshape, np.float32)

@@ -97,7 +97,15 @@ def fps_pallas(key, xyz: jnp.ndarray, npoint: int, interpret: bool = False):
     return sampled, centroids
 
 
-def fps_pallas_supported(B: int, N: int) -> bool:
-    """TPU layout constraints for the kernel: (B, N) tiles on (8, 128),
-    and the resident working set (~6 B·N f32 arrays) within VMEM."""
-    return B % 8 == 0 and 128 <= N <= 32768 and N % 128 == 0 and B * N <= 1 << 19
+def fps_pallas_supported(B: int, N: int, npoint: int = 128) -> bool:
+    """TPU layout constraints for the kernel: (B, N) and the (B, npoint)
+    output tile on (8, 128), and the resident working set (~6 B·N f32
+    arrays) within VMEM. Unaligned npoint falls back to the XLA loop —
+    only the flagship-style 128-multiples are validated on hardware."""
+    return (
+        B % 8 == 0
+        and 128 <= N <= 32768
+        and N % 128 == 0
+        and B * N <= 1 << 19
+        and npoint % 128 == 0
+    )

@@ -191,7 +191,8 @@ def farthest_point_sample(key, xyz: jnp.ndarray, npoint: int,
         from .pallas.fps import fps_pallas_supported
 
         use_pallas = (
-            _jax.devices()[0].platform == "tpu" and fps_pallas_supported(B, N)
+            _jax.devices()[0].platform == "tpu"
+            and fps_pallas_supported(B, N, npoint)
         )
     if use_pallas:
         from .pallas.fps import fps_pallas

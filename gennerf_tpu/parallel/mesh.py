@@ -71,18 +71,16 @@ def make_hybrid_mesh(
         by_slice: dict = {}
         for d in devices:
             by_slice.setdefault(d.slice_index, []).append(d)
+        use_slices = sorted(by_slice)[:num_slices]
         if len(by_slice) < num_slices or any(
-            len(v) < devices_per_slice for v in list(by_slice.values())[:num_slices]
+            len(by_slice[s]) < devices_per_slice for s in use_slices
         ):
             raise ValueError(
-                f"hardware reports {[len(v) for v in by_slice.values()]} devices "
-                f"per slice; cannot form a ({num_slices}, {devices_per_slice}) mesh"
+                f"hardware reports {[len(by_slice[s]) for s in sorted(by_slice)]} "
+                f"devices per slice; cannot form a ({num_slices}, "
+                f"{devices_per_slice}) mesh"
             )
-        rows = [
-            by_slice[s][:devices_per_slice]
-            for s in sorted(by_slice)[:num_slices]
-        ]
-        grid = np.array(rows)
+        grid = np.array([by_slice[s][:devices_per_slice] for s in use_slices])
     else:
         grid = np.array(devices[:n]).reshape(num_slices, devices_per_slice)
     return Mesh(grid, axis_names)

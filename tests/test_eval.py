@@ -67,16 +67,24 @@ class TestTsdfCrossGrid:
         from voxel_dim_test, so grids legitimately differ)."""
         from gennerf_tpu.tsdf import TSDF
 
-        def sphere_tsdf(origin, vs, shape):
-            ax = [origin[a] + vs * np.arange(shape[a]) for a in range(3)]
+        def sphere_tsdf(origin, vs, shape, linspace=False):
+            # decoded volumes live on the reference's linspace grid
+            # (spacing vs*n/(n-1)); fused GT uses arange*vs
+            ax = [
+                origin[a]
+                + (vs * shape[a] / (shape[a] - 1) if linspace else vs)
+                * np.arange(shape[a])
+                for a in range(3)
+            ]
             gx, gy, gz = np.meshgrid(*ax, indexing="ij")
             d = np.sqrt(gx**2 + gy**2 + gz**2) - 0.5
             return np.clip(d / 0.12, -1, 1).astype(np.float32)
 
-        # fine prediction grid, coarser shifted target grid
+        # fine prediction grid (decode convention), coarser shifted target
         po, pvs, pshape = np.array([-1.0, -1.0, -1.0]), 0.05, (40, 40, 40)
         to, tvs, tshape = np.array([-0.9, -0.85, -0.8]), 0.08, (22, 21, 20)
-        pred = TSDF(np.float32(pvs), po.astype(np.float32), sphere_tsdf(po, pvs, pshape))
+        pred = TSDF(np.float32(pvs), po.astype(np.float32),
+                    sphere_tsdf(po, pvs, pshape, linspace=True))
         trgt = TSDF(np.float32(tvs), to.astype(np.float32), sphere_tsdf(to, tvs, tshape))
         m = eval_tsdf(pred, trgt)
         # same underlying SDF -> only interpolation error remains
@@ -85,6 +93,32 @@ class TestTsdfCrossGrid:
         # raw arrays of different shapes cannot align -> explicit error
         with pytest.raises(ValueError):
             eval_tsdf(np.zeros((4, 4, 4)), np.zeros((5, 5, 5)))
+
+    def test_equal_shape_different_origin_still_resamples(self):
+        """Shape equality is not grid identity: same-shape volumes with
+        different origins must go through the world-aligned resample, not
+        a raw voxel-to-voxel compare."""
+        from gennerf_tpu.tsdf import TSDF
+
+        shape = (12, 12, 12)
+        vs = 0.1
+
+        def sphere(origin, linspace=False):
+            ax = [origin[a] + (vs * shape[a] / (shape[a] - 1) if linspace else vs)
+                  * np.arange(shape[a]) for a in range(3)]
+            gx, gy, gz = np.meshgrid(*ax, indexing="ij")
+            return np.clip((np.sqrt(gx**2 + gy**2 + gz**2) - 0.4) / 0.12,
+                           -1, 1).astype(np.float32)
+
+        o1 = np.array([-0.6, -0.6, -0.6], np.float32)
+        o2 = o1 + np.float32(0.25)
+        pred = TSDF(np.float32(vs), o1, sphere(o1, linspace=True))
+        trgt = TSDF(np.float32(vs), o2, sphere(o2))
+        aligned = eval_tsdf(pred, trgt)["l1"]
+        # a naive voxel-to-voxel compare of the shifted volumes is much worse
+        naive = float(np.abs(np.asarray(pred.tsdf_vol) - np.asarray(trgt.tsdf_vol))[
+            np.asarray(trgt.tsdf_vol) < 1].mean())
+        assert aligned < 0.08 < naive, (aligned, naive)
 
     def test_out_of_bounds_region_counts_as_unobserved(self):
         from gennerf_tpu.tsdf import TSDF

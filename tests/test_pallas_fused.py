@@ -506,7 +506,8 @@ class TestPallasFPS:
     def test_supported_gate(self):
         from gennerf_tpu.ops.pallas.fps import fps_pallas_supported
 
-        assert fps_pallas_supported(8, 4096)      # flagship presample
-        assert not fps_pallas_supported(7, 4096)  # sublane misfit
-        assert not fps_pallas_supported(8, 100)   # lane misfit
-        assert not fps_pallas_supported(8, 1 << 20)  # VMEM blowout
+        assert fps_pallas_supported(8, 4096, 512)  # flagship presample
+        assert not fps_pallas_supported(7, 4096, 512)  # sublane misfit
+        assert not fps_pallas_supported(8, 100, 512)   # lane misfit
+        assert not fps_pallas_supported(8, 4096, 100)  # npoint misfit
+        assert not fps_pallas_supported(8, 1 << 20, 512)  # VMEM blowout
