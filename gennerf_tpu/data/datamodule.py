@@ -138,11 +138,18 @@ class ScannetDataModule:
 
         if cache:
             frames_cap = 2048 if cache is True else int(cache)
-            configure_item_cache(frames=frames_cap, volumes=64)
+            volumes_cap = int(c.get("cache_volumes", 64))
+            configure_item_cache(frames=frames_cap, volumes=volumes_cap)
+            self._enabled_cache = True
         else:
-            # the cache is process-global: an opted-out datamodule must
-            # also tear down whatever a previous one enabled
-            configure_item_cache(frames=0, volumes=0)
+            self._enabled_cache = False
+            # the cache is process-global but host-side and
+            # capacity-bounded; a datamodule that did not opt in simply
+            # doesn't benefit — tearing it down here would destroy the
+            # warm cache of a still-in-use sibling datamodule. Explicit
+            # cache_items=0 (vs absent/False) clears it.
+            if "cache_items" in c and c["cache_items"] == 0 and c["cache_items"] is not False:
+                configure_item_cache(frames=0, volumes=0)
         # global batch must divide by device count (reference datamodule.py:100-106
         # divides by world size; under jit-sharding we keep the global size and
         # shard axis 0, so we only validate divisibility)

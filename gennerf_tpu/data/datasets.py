@@ -15,6 +15,7 @@ import threading
 from collections import OrderedDict
 from typing import Dict, List, Optional, Sequence
 
+import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
@@ -183,18 +184,31 @@ def map_frames(frames: List[dict], frame_ids, frame_types=(), from_archive=True)
 
 
 def map_tsdf(info: dict, data: dict, voxel_types, voxel_sizes) -> dict:
-    """Load GT TSDF volumes (reference data.py:134-153). Cached TSDF
-    objects are shared safely: their arrays are immutable jnp buffers and
-    every transform returns a new TSDF."""
+    """Load GT TSDF volumes (reference data.py:134-153). The cache stores
+    HOST-side numpy blobs (not jnp buffers — pinning up to `volumes`
+    production-scale volumes in HBM is the wrong trade; the win is skipping
+    the npz decompress, and the per-item device upload happens during the
+    transform chain either way); a fresh jnp-backed TSDF is built per
+    access, so sharing is trivially safe."""
     if len(voxel_types) > 0:
         for scale in voxel_sizes:
             fname = info["file_name_vol_%02d" % scale]
             key = f"{fname}|{','.join(sorted(voxel_types))}"
-            vol = _volume_cache.get(key)
-            if vol is None:
+            blob = _volume_cache.get(key)
+            if blob is None:
                 vol = TSDF.load(fname, list(voxel_types))
-                _volume_cache.put(key, vol)
-            data["vol_%02d" % scale] = vol
+                blob = (
+                    vol.voxel_size,
+                    np.asarray(vol.origin),
+                    np.asarray(vol.tsdf_vol),
+                    {k: np.asarray(v) for k, v in vol.attribute_vols.items()},
+                )
+                _volume_cache.put(key, blob)
+            vs, origin, tsdf_vol, attr = blob
+            data["vol_%02d" % scale] = TSDF(
+                vs, jnp.asarray(origin), jnp.asarray(tsdf_vol),
+                {k: jnp.asarray(v) for k, v in attr.items()},
+            )
     return data
 
 

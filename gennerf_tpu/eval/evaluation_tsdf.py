@@ -18,7 +18,7 @@ from ..tsdf import TSDF
 from .metrics import eval_tsdf
 
 
-def process(info_file: str, results_dir: str) -> dict:
+def process(info_file: str, results_dir: str, align: bool = False) -> dict:
     info = load_info_json(info_file)
     scene = info["scene"]
     voxel_size_cm = min(
@@ -27,7 +27,7 @@ def process(info_file: str, results_dir: str) -> dict:
     pred = TSDF.load(os.path.join(results_dir, f"{scene}.npz"))
     trgt = TSDF.load(info["file_name_vol_%02d" % voxel_size_cm])
     metrics = {"scene": scene}
-    metrics.update(eval_tsdf(pred, trgt))
+    metrics.update(eval_tsdf(pred, trgt, align=align))
     with open(os.path.join(results_dir, f"{scene}_tsdf_metrics.json"), "w") as f:
         json.dump(metrics, f, indent=2)
     return metrics
@@ -38,10 +38,14 @@ def main(argv=None):
     parser.add_argument("--results", required=True)
     parser.add_argument("--dataset", required=True, nargs="+")
     parser.add_argument("--data-dir", default=None)
+    parser.add_argument(
+        "--align", action="store_true",
+        help="world-align pred to the target grid even at equal shapes "
+        "(default preserves the reference's direct voxel compare)")
     args = parser.parse_args(argv)
     out = []
     for info_file in parse_splits_list(args.dataset, args.data_dir):
-        m = process(info_file, args.results)
+        m = process(info_file, args.results, align=args.align)
         print(json.dumps(m))
         out.append(m)
     return out

@@ -11,7 +11,7 @@ from typing import Dict, Optional
 import numpy as np
 
 
-def eval_tsdf(tsdf_pred, tsdf_trgt) -> Dict[str, float]:
+def eval_tsdf(tsdf_pred, tsdf_trgt, align: bool = False) -> Dict[str, float]:
     """Masked TSDF L1 (reference metrics.py:24-78): only voxels where the
     target is observed (trgt < 1) count.
 
@@ -21,7 +21,17 @@ def eval_tsdf(tsdf_pred, tsdf_trgt) -> Dict[str, float]:
     differ (shape, origin, or voxel size) and both sides are TSDF
     objects, the prediction is resampled at the TARGET's voxel centers in
     world space (trilinear, out-of-bounds → 1.0 = unobserved) before
-    comparing."""
+    comparing.
+
+    Same-shape grids compare voxel-to-voxel BY DEFAULT even though decoded
+    volumes live on the linspace convention and fused GT on arange — a
+    sub-voxel misregistration growing to ~1 voxel at the far boundary.
+    This intentionally preserves the reference's own biased compare
+    (its predict_tsdf queries the same linspace grid and its eval_tsdf
+    subtracts directly, metrics.py:63-78), so L1 numbers are
+    reference-comparable. Pass `align=True` to apply the world-aligned
+    resample regardless, making same-shape and cross-shape evals of one
+    model mutually comparable instead."""
     pred = np.asarray(tsdf_pred.tsdf_vol if hasattr(tsdf_pred, "tsdf_vol") else tsdf_pred)
     trgt = np.asarray(tsdf_trgt.tsdf_vol if hasattr(tsdf_trgt, "tsdf_vol") else tsdf_trgt)
     have_grids = hasattr(tsdf_pred, "origin") and hasattr(tsdf_trgt, "origin")
@@ -36,7 +46,7 @@ def eval_tsdf(tsdf_pred, tsdf_trgt) -> Dict[str, float]:
             or abs(float(tsdf_pred.voxel_size) - float(tsdf_trgt.voxel_size)) > 1e-9
         )
     )
-    if grids_differ:
+    if grids_differ or (align and have_grids):
         if not have_grids:
             raise ValueError(
                 f"pred {pred.shape} vs target {trgt.shape}: raw arrays of "

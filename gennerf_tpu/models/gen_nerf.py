@@ -295,10 +295,15 @@ class GenNerf(nn.Module):
 
         jax.vjp with a ones cotangent == the reference's autograd.grad
         (utils.py:636-648), but needs no double-backward-safe custom ops.
+        The vjp's primal outputs ARE the decode outputs (tsdf has a single
+        channel, so a ones cotangent on it and zeros elsewhere is exactly
+        d(tsdf)/d(xyz)) — one decoder forward total, not two.
         """
-        outputs, vjp_fn = jax.vjp(lambda p: self.decode(repr, p, origin)["tsdf"], xyz)
-        (grad,) = vjp_fn(jnp.ones_like(outputs))
-        out = self.decode(repr, xyz, origin)
+        out, vjp_fn = jax.vjp(lambda p: self.decode(repr, p, origin), xyz)
+        cot = jax.tree.map(jnp.zeros_like, out)
+        cot["tsdf"] = jnp.ones_like(out["tsdf"])
+        (grad,) = vjp_fn(cot)
+        out = dict(out)
         out["grad"] = grad
         return out
 

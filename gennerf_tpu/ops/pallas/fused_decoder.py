@@ -119,6 +119,12 @@ def extract_resnetfc_weights(mlp_params: dict, head_params: dict, n_blocks: int,
         "w_in_raw": w_in.astype(np.float32),
         "wz_raw": wz.astype(np.float32),
         "bz_raw": bz.astype(np.float32),
+        # f32 block weights for the XLA tier off-TPU, where bf16 matmuls
+        # would silently diverge from the f32 gather-path eval numerics
+        # (on TPU bf16 is the platform's default matmul feed anyway)
+        "w0_f32": w0.astype(np.float32),
+        "w1_f32": w1.astype(np.float32),
+        "w_last_f32": w_last.astype(np.float32),
         "w_in": pad2(w_in, d_in_p, H),
         "b_in": b_in.astype(np.float32).reshape(1, H),
         "wz": pad3(wz, d_code_p, H),
@@ -316,20 +322,27 @@ def _bf16_dot(a, w):
                        preferred_element_type=jnp.float32)
 
 
+def _f32_dot(a, w):
+    """True-f32 dot for off-TPU eval parity (this JAX build's DEFAULT f32
+    matmul precision is bf16-level — BENCH.md round-2 numerics finding)."""
+    return jax.lax.dot(a, w, precision=jax.lax.Precision.HIGHEST)
+
+
 def _blocks_and_head(x, tz_fn, w0, b0, w1, b1, w_last, b_last, *,
-                     n_blocks: int):
+                     n_blocks: int, dot=_bf16_dot):
     """Shared ResnetFC residual-block loop + folded tanh head on
     pre-projected inputs: x is the lin_in output (f32), tz_fn(b) returns
     block b's pre-projected latent injection. Single source of truth for
     BOTH the Pallas grid kernel and the tier-2 XLA slab decode — their
     numerics must never fork (tests compare the tiers against each other).
-    f32 residual stream; only the MXU feeds round to bf16."""
+    f32 residual stream; only the `dot` feeds round (bf16 on the MXU, or
+    true f32 off-TPU via `dot=_f32_dot` with f32 weights)."""
     for b in range(n_blocks):
         x = x + tz_fn(b).astype(jnp.float32)
-        net = _bf16_dot(jnp.maximum(x, 0.0), w0[b]) + b0[b]
-        dx = _bf16_dot(jnp.maximum(net, 0.0), w1[b]) + b1[b]
+        net = dot(jnp.maximum(x, 0.0), w0[b]) + b0[b]
+        dx = dot(jnp.maximum(net, 0.0), w1[b]) + b1[b]
         x = x + dx
-    out = _bf16_dot(jnp.maximum(x, 0.0), w_last)
+    out = dot(jnp.maximum(x, 0.0), w_last)
     return jnp.tanh(out[:, 0] + b_last)
 
 
@@ -573,7 +586,7 @@ def fused_grid_decode_sharded(
 
 @functools.partial(jax.jit, static_argnames=(
     "voxel_dim", "voxel_size", "n_blocks", "num_freqs", "freq_factor",
-    "include_input", "padding", "coord_center", "coord_scale"))
+    "include_input", "padding", "coord_center", "coord_scale", "use_bf16"))
 def separable_grid_decode_xla(
     plane_xz: jnp.ndarray,
     plane_xy: jnp.ndarray,
@@ -590,6 +603,7 @@ def separable_grid_decode_xla(
     padding: float,
     coord_center=None,
     coord_scale=None,
+    use_bf16: "bool | None" = None,
 ) -> jnp.ndarray:
     """Pure-XLA separable grid decode: the SAME pre-projected tables as the
     Pallas kernel (zero gathers, lin_in/lin_z folded away), evaluated by a
@@ -599,8 +613,15 @@ def separable_grid_decode_xla(
     gather decode: it carries no Mosaic tile constraints (any voxel_dim,
     any platform) while keeping the separability win — on v5e it measures
     ~3x the gather-based `decode_dense` (BENCH.md round-2 log).
+
+    use_bf16: None auto-selects by platform — bf16 matmul feeds on TPU
+    (the MXU's native dtype, matching the Pallas kernel), TRUE-f32 dots
+    with f32 weights elsewhere so default CPU/GPU eval matches the f32
+    gather-path numerics (the reference eval is f32 torch).
     """
     nx, ny, nz = (int(d) for d in voxel_dim)
+    if use_bf16 is None:
+        use_bf16 = jax.devices()[0].platform == "tpu"
     tables = _grid_tables(
         plane_xz, plane_xy, plane_yz, origin, weights,
         voxel_dim=(nx, ny, nz), voxel_size=voxel_size, num_freqs=num_freqs,
@@ -614,6 +635,13 @@ def separable_grid_decode_xla(
     # (n_blocks, ny*nz, H) tensor and slab-add only z_x inside the map
     tz_yz = (z_y[:, :, None, :] + z_z[:, None, :, :]).reshape(n_blocks, ny * nz, H)
 
+    if use_bf16:
+        w0, w1 = weights["w0"], weights["w1"]
+        w_last, dot = weights["w_last"][:, :1], _bf16_dot
+    else:
+        w0, w1 = weights["w0_f32"], weights["w1_f32"]
+        w_last, dot = weights["w_last_f32"][:, :1], _f32_dot
+
     def slab(args):
         qxz_i, qxy_i, zx_i = args  # (nz,H), (ny,H), (n_blocks,H)
         x = (
@@ -623,9 +651,9 @@ def separable_grid_decode_xla(
         ).reshape(ny * nz, H).astype(f32)
         return _blocks_and_head(
             x, lambda b: tz_yz[b] + zx_i[b][None, :],
-            weights["w0"], weights["b0"], weights["w1"], weights["b1"],
-            weights["w_last"][:, :1], weights["scal"][0, 1],
-            n_blocks=n_blocks,
+            w0, weights["b0"], w1, weights["b1"],
+            w_last, weights["scal"][0, 1],
+            n_blocks=n_blocks, dot=dot,
         )
 
     vols = jax.lax.map(slab, (q_xz, q_xy, z_x))

@@ -199,18 +199,22 @@ def farthest_point_sample(key, xyz: jnp.ndarray, npoint: int,
 
         return fps_pallas(key, xyz, npoint)
     farthest0 = jax.random.randint(key, (B,), 0, N)
+    # distances in float32 regardless of xyz.dtype — fps_pallas force-casts
+    # to f32, so the XLA branch must too or shape-based tier dispatch could
+    # silently change which centroids are selected for non-f32 inputs
+    xyz32 = xyz.astype(jnp.float32)
 
     def body(i, carry):
         distance, farthest, centroids = carry
         centroids = centroids.at[:, i].set(farthest)
-        centroid = jnp.take_along_axis(xyz, farthest[:, None, None], axis=1)  # (B, 1, 3)
-        dist = jnp.sum((xyz - centroid) ** 2, axis=-1)  # (B, N)
+        centroid = jnp.take_along_axis(xyz32, farthest[:, None, None], axis=1)  # (B, 1, 3)
+        dist = jnp.sum((xyz32 - centroid) ** 2, axis=-1)  # (B, N)
         distance = jnp.minimum(distance, dist)
         farthest = jnp.argmax(distance, axis=-1)
         return distance, farthest, centroids
 
     init = (
-        jnp.full((B, N), 1e10, dtype=xyz.dtype),
+        jnp.full((B, N), 1e10, dtype=jnp.float32),
         farthest0,
         jnp.zeros((B, npoint), dtype=jnp.int32),
     )

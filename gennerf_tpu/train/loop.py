@@ -199,17 +199,20 @@ class Trainer:
     # -----------------------------------------------------------------
     def validate(self, task, state: TrainState, loader, key, epoch: int = 0,
                  mode: str = "val", reconstruct: bool = False) -> Dict[str, float]:
-        sums: Dict[str, float] = {}
+        # accumulate ON DEVICE: a float() per metric per batch would
+        # round-trip the host tunnel every batch (~50 ms RTT each on the
+        # tunneled TPU); one fetch at the end instead
+        sums: Dict[str, Any] = {}
         count = 0
         last_batch = None
         for batch in loader:
             key, k = jax.random.split(key)
             metrics = task.run_eval_step(state, shard_batch(_arrays(batch), self.mesh), k)
             for k_, v in metrics.items():
-                sums[k_] = sums.get(k_, 0.0) + float(v)
+                sums[k_] = v if k_ not in sums else sums[k_] + v
             count += 1
             last_batch = batch
-        out = {f"{mode}_{k_}": v / max(count, 1) for k_, v in sums.items()}
+        out = {f"{mode}_{k_}": float(v) / max(count, 1) for k_, v in sums.items()}
 
         if reconstruct and last_batch is not None:
             try:

@@ -360,8 +360,21 @@ def test_separable_xla_decode_matches_gather_path(rng):
     with jax.default_matmul_precision("highest"):
         ref = decode_dense(task.model, variables, repr_, pts, origin).reshape(voxel_dim)
     assert sep.shape == voxel_dim
-    np.testing.assert_allclose(np.asarray(sep), np.asarray(ref), atol=8e-2)
-    assert np.abs(np.asarray(sep) - np.asarray(ref)).mean() < 1e-2
+    # off-TPU the tier auto-selects TRUE-f32 weights/dots (ADVICE round-2:
+    # a silently-bf16 default eval path diverged ~1e-2 mean from the f32
+    # gather numerics) — agreement is now at f32 reassociation level
+    np.testing.assert_allclose(np.asarray(sep), np.asarray(ref), atol=2e-4)
+    # the explicit bf16 variant (what the TPU runs) stays within MXU-rounding
+    # tolerance of the f32 reference
+    from gennerf_tpu.ops.pallas.fused_decoder import separable_grid_decode_xla
+    from gennerf_tpu.train.predict import _separable_grid_setup
+
+    planes, weights, common = _separable_grid_setup(task.model, variables, repr_)
+    sep_bf16 = separable_grid_decode_xla(
+        planes["xz"][0], planes["xy"][0], planes["yz"][0], origin, weights,
+        voxel_dim=voxel_dim, voxel_size=0.08, use_bf16=True, **common)
+    np.testing.assert_allclose(np.asarray(sep_bf16), np.asarray(ref), atol=8e-2)
+    assert np.abs(np.asarray(sep_bf16) - np.asarray(ref)).mean() < 1e-2
     # the dispatcher reaches tier 2 for this grid (off-TPU pallas raises)
     vol = predict_tsdf_volume(task.model, variables, repr_, voxel_dim, 0.08,
                               np.asarray(origin))

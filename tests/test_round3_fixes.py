@@ -1,0 +1,182 @@
+"""Regression tests for the round-3 verdict/advice fixes."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def _tiny_gen_nerf_task(rng):
+    from gennerf_tpu.train.tasks import GenNerfTask
+
+    cfg = {
+        "type": "GenNerf", "voxel_size": 0.08,
+        "voxel_dim_train": [16, 16, 8], "voxel_dim_val": [16, 16, 8],
+        "voxel_dim_test": [16, 16, 8],
+        "encoder": {"use_spatial": False, "use_pointnet": True,
+                    "pointnet": {"num_sparse_points": 32, "c_dim": 8,
+                                 "hidden_dim": 8, "plane_resolution": 16,
+                                 "n_blocks": 2, "unet": False}},
+        "mlp": {"d_out_sem": 1, "d_out_geo": 8, "n_blocks": 2, "d_hidden": 32},
+    }
+    task = GenNerfTask(cfg)
+    B, T, H, W = 1, 2, 12, 16
+    batch = {
+        "projection": rng.standard_normal((B, T, 3, 4)).astype(np.float32),
+        "image": rng.standard_normal((B, T, 3, H, W)).astype(np.float32),
+        "depth": (rng.random((B, T, H, W)) + 0.5).astype(np.float32),
+        "vol_08_tsdf": rng.uniform(-1, 1, (B, 1, 16, 16, 8)).astype(np.float32),
+    }
+    batch["projection"][:, :, 2, 2] = 1.0
+    return task, batch
+
+
+def _encode(task, batch):
+    from gennerf_tpu.models.gen_nerf import GenNerf
+
+    state = task.init_state(jax.random.PRNGKey(0), batch)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    repr_, _ = task.model.apply(
+        variables, jnp.asarray(batch["projection"]), jnp.asarray(batch["image"]),
+        jnp.asarray(batch["depth"]), jax.random.PRNGKey(0), (16, 16, 8),
+        jnp.zeros(3), train=False, method=GenNerf.encode, mutable=["batch_stats"])
+    return variables, repr_
+
+
+class TestSingleForwardDecodeWithGrad:
+    """VERDICT round-2 weak #2: decode_with_grad must run ONE decoder
+    forward (vjp primal outputs reused), not a vjp pass plus a second
+    decode."""
+
+    def test_one_tanh_in_jaxpr(self, rng):
+        from gennerf_tpu.models.gen_nerf import GenNerf
+
+        task, batch = _tiny_gen_nerf_task(rng)
+        variables, repr_ = _encode(task, batch)
+        xyz = jnp.asarray(rng.random((1, 64, 3)).astype(np.float32))
+
+        def f(xyz):
+            return task.model.apply(
+                variables, repr_, xyz, jnp.zeros(3),
+                method=GenNerf.decode_with_grad)
+
+        jaxpr = jax.make_jaxpr(f)(xyz)
+        # the TSDF head applies exactly one tanh per decode forward; the
+        # backward pass reuses the primal tanh value (d tanh = 1 - t**2),
+        # so a single-forward implementation traces exactly ONE tanh
+        n_tanh = str(jaxpr).count(" tanh ") + str(jaxpr).count(" tanh\n")
+        assert n_tanh == 1, f"expected 1 decoder forward, traced {n_tanh} tanh ops"
+
+    def test_outputs_match_plain_decode(self, rng):
+        from gennerf_tpu.models.gen_nerf import GenNerf
+
+        task, batch = _tiny_gen_nerf_task(rng)
+        variables, repr_ = _encode(task, batch)
+        xyz = jnp.asarray(rng.random((1, 64, 3)).astype(np.float32))
+        out_g = task.model.apply(variables, repr_, xyz, jnp.zeros(3),
+                                 method=GenNerf.decode_with_grad)
+        out = task.model.apply(variables, repr_, xyz, jnp.zeros(3),
+                               method=GenNerf.decode)
+        for k in out:
+            np.testing.assert_allclose(np.asarray(out_g[k]), np.asarray(out[k]),
+                                       atol=1e-6)
+        assert out_g["grad"].shape == xyz.shape
+        # gradient agrees with finite differences along x
+        eps = 1e-3
+        xp = xyz.at[..., 0].add(eps)
+        xm = xyz.at[..., 0].add(-eps)
+        tp = task.model.apply(variables, repr_, xp, jnp.zeros(3), method=GenNerf.decode)["tsdf"]
+        tm = task.model.apply(variables, repr_, xm, jnp.zeros(3), method=GenNerf.decode)["tsdf"]
+        fd = np.asarray((tp - tm) / (2 * eps))[..., 0]
+        np.testing.assert_allclose(np.asarray(out_g["grad"][..., 0]), fd, atol=5e-3)
+
+
+class TestFpsDispatchConsistency:
+    """ADVICE round-2: the XLA FPS branch must compute distances in f32 so
+    tier dispatch (Pallas vs fori_loop) never changes selected centroids
+    for non-f32 inputs."""
+
+    def test_f16_input_matches_f32_selection(self, rng):
+        from gennerf_tpu.ops.sampling import farthest_point_sample
+
+        B, N, npoint = 4, 256, 24
+        xyz16 = jnp.asarray(rng.standard_normal((B, N, 3)).astype(np.float32),
+                            jnp.float16)
+        key = jax.random.PRNGKey(3)
+        # the XLA branch's distance accumulator is f32 even when xyz is half
+        # precision: same selections as an explicit f32 cast (which is what
+        # the Pallas tier always computes)
+        _, c_half = farthest_point_sample(key, xyz16, npoint, use_pallas=False)
+        _, c_full = farthest_point_sample(
+            key, jnp.asarray(xyz16, jnp.float32), npoint, use_pallas=False)
+        np.testing.assert_array_equal(np.asarray(c_half), np.asarray(c_full))
+
+
+class TestEvalTsdfAlign:
+    def test_align_resamples_at_equal_shape(self):
+        from gennerf_tpu.eval.metrics import eval_tsdf
+        from gennerf_tpu.tsdf import TSDF
+
+        n = 8
+        vs = 0.1
+        vol = np.linspace(-1, 1, n**3, dtype=np.float32).reshape(n, n, n) * 0.5
+        origin = jnp.zeros((1, 3))
+        pred = TSDF(vs, origin, jnp.asarray(vol))
+        trgt = TSDF(vs, origin, jnp.asarray(vol))
+        # default: reference-parity direct compare -> exactly zero
+        assert eval_tsdf(pred, trgt)["l1"] == 0.0
+        # align=True resamples pred from linspace convention onto the
+        # arange target grid -> small nonzero L1 (the conventions differ)
+        l1_aligned = eval_tsdf(pred, trgt, align=True)["l1"]
+        assert l1_aligned > 0.0
+        assert l1_aligned < 0.2
+
+
+class TestVolumeCacheHostSide:
+    def test_cache_stores_numpy_blobs(self, tmp_path):
+        from gennerf_tpu.data import datasets as ds
+        from gennerf_tpu.tsdf import TSDF
+
+        fname = str(tmp_path / "vol_08.npz")
+        vol = TSDF(0.08, jnp.zeros((1, 3)), jnp.zeros((4, 4, 4)))
+        vol.save(fname)
+        ds.configure_item_cache(frames=0, volumes=4)
+        try:
+            info = {"file_name_vol_08": fname}
+            data = ds.map_tsdf(info, {}, ["tsdf"], [8])
+            assert "vol_08" in data
+            # the cached entry holds host numpy, not device buffers
+            (key, blob), = ds._volume_cache._d.items()
+            assert isinstance(blob[2], np.ndarray)
+            # second access returns an equal, independently-wrapped TSDF
+            data2 = ds.map_tsdf(info, {}, ["tsdf"], [8])
+            np.testing.assert_array_equal(
+                np.asarray(data["vol_08"].tsdf_vol),
+                np.asarray(data2["vol_08"].tsdf_vol))
+        finally:
+            ds.configure_item_cache(frames=0, volumes=0)
+
+    def test_optout_datamodule_keeps_sibling_cache(self):
+        from gennerf_tpu.data import datasets as ds
+        from gennerf_tpu.data.datamodule import ScannetDataModule
+
+        base = {
+            "voxel_size": 0.08, "voxel_types": ["tsdf"],
+            "voxel_dim_train": [8, 8, 8], "voxel_dim_val": [8, 8, 8],
+            "voxel_dim_test": [8, 8, 8], "batch_size": 1,
+            "train_split": [], "val_split": [], "test_split": [],
+            "dataset_type": "frame",
+        }
+        try:
+            ScannetDataModule({**base, "cache_items": True})
+            assert ds._volume_cache.cap > 0
+            # a sibling datamodule WITHOUT the key must not tear it down
+            ScannetDataModule(dict(base))
+            assert ds._volume_cache.cap > 0
+            # explicit cache_items: 0 clears it
+            ScannetDataModule({**base, "cache_items": 0})
+            assert ds._volume_cache.cap == 0
+            # configurable volume capacity
+            ScannetDataModule({**base, "cache_items": True, "cache_volumes": 7})
+            assert ds._volume_cache.cap == 7
+        finally:
+            ds.configure_item_cache(frames=0, volumes=0)
