@@ -31,11 +31,11 @@ class _Norm3d(nn.Module):
             return nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 axis_name=self.axis_name if self.norm == "nnSyncBN" else None,
-                scale_init=scale_init,
+                scale_init=scale_init, dtype=jnp.float32,
             )(x)
         if self.norm == "GN":
             groups = min(32, x.shape[-1])
-            return nn.GroupNorm(num_groups=groups, scale_init=scale_init)(x)
+            return nn.GroupNorm(num_groups=groups, scale_init=scale_init, dtype=jnp.float32)(x)
         if self.norm == "":
             return x
         raise ValueError(self.norm)
@@ -50,21 +50,22 @@ class BasicBlock3d(nn.Module):
     norm: str = "BN"
     drop: float = 0.0
     axis_name: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         identity = x
-        out = nn.Conv(self.planes, (3, 3, 3), strides=self.stride, padding=1, use_bias=False, name="conv1")(x)
+        out = nn.Conv(self.planes, (3, 3, 3), strides=self.stride, padding=1, use_bias=False, dtype=self.dtype, name="conv1")(x)
         out = _Norm3d(self.norm, self.axis_name, name="bn1")(out, train)
         if self.drop > 0:
             out = nn.Dropout(self.drop, deterministic=not train)(out)
         out = nn.relu(out)
-        out = nn.Conv(self.planes, (3, 3, 3), padding=1, use_bias=False, name="conv2")(out)
+        out = nn.Conv(self.planes, (3, 3, 3), padding=1, use_bias=False, dtype=self.dtype, name="conv2")(out)
         out = _Norm3d(self.norm, self.axis_name, zero_init=True, name="bn2")(out, train)
         if self.drop > 0:
             out = nn.Dropout(self.drop, deterministic=not train)(out)
         if self.stride != 1 or x.shape[-1] != self.planes:
-            identity = nn.Conv(self.planes, (1, 1, 1), strides=self.stride, use_bias=False, name="down")(x)
+            identity = nn.Conv(self.planes, (1, 1, 1), strides=self.stride, use_bias=False, dtype=self.dtype, name="down")(x)
         return nn.relu(out + identity)
 
 
@@ -75,10 +76,11 @@ class ConditionalProjection(nn.Module):
     n: int
     norm: str = "BN"
     condition: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, y, mask, train: bool = False):
-        x = nn.Conv(self.n, (1, 1, 1), use_bias=False, name="conv")(x)
+        x = nn.Conv(self.n, (1, 1, 1), use_bias=False, dtype=self.dtype, name="conv")(x)
         if self.condition:
             x = jnp.where(mask, x, y)
         x = _Norm3d(self.norm, name="norm")(x, train)
@@ -106,6 +108,8 @@ class EncoderDecoder(nn.Module):
     drop: float = 0.0
     cond_proj: bool = True
     axis_name: Optional[str] = None
+    # compute dtype for convs (bf16-mixed); norms and params stay f32
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
@@ -117,18 +121,21 @@ class EncoderDecoder(nn.Module):
         # down path
         for j in range(self.layers_down[0]):
             x = BasicBlock3d(self.channels[0], norm=self.norm, drop=self.drop,
-                             axis_name=self.axis_name, name=f"down0_b{j}")(x, train)
+                             axis_name=self.axis_name, dtype=self.dtype,
+                             name=f"down0_b{j}")(x, train)
         xs.append(x)
         for i in range(1, len(self.channels)):
             x = nn.Conv(self.channels[i], (3, 3, 3), strides=2, padding=1,
-                        use_bias=(self.norm == ""), name=f"down{i}_conv")(x)
+                        use_bias=(self.norm == ""), dtype=self.dtype,
+                        name=f"down{i}_conv")(x)
             x = _Norm3d(self.norm, self.axis_name, name=f"down{i}_norm")(x, train)
             if self.drop > 0:
                 x = nn.Dropout(self.drop, deterministic=not train)(x)
             x = nn.relu(x)
             for j in range(self.layers_down[i]):
                 x = BasicBlock3d(self.channels[i], norm=self.norm, drop=self.drop,
-                                 axis_name=self.axis_name, name=f"down{i}_b{j}")(x, train)
+                                 axis_name=self.axis_name, dtype=self.dtype,
+                                 name=f"down{i}_b{j}")(x, train)
             xs.append(x)
 
         # up path
@@ -138,7 +145,7 @@ class EncoderDecoder(nn.Module):
         n_up = len(rev) - 1
         for i in range(n_up):
             x = _trilinear_up2x(x)
-            x = nn.Conv(rev[i + 1], (1, 1, 1), use_bias=False, name=f"up{i}_conv")(x)
+            x = nn.Conv(rev[i + 1], (1, 1, 1), use_bias=False, dtype=self.dtype, name=f"up{i}_conv")(x)
             if self.cond_proj:
                 scale = 2 ** (n_up - i - 1)
                 m = valid_mask.astype(jnp.float32)
@@ -148,10 +155,12 @@ class EncoderDecoder(nn.Module):
             else:
                 mask = None
             y = ConditionalProjection(rev[i + 1], self.norm, self.cond_proj,
+                                      dtype=self.dtype,
                                       name=f"proj{i}")(xs[i + 1], x, mask, train)
             x = (x + y) / 2
             for j in range(self.layers_up[i]):
                 x = BasicBlock3d(rev[i + 1], norm=self.norm, drop=self.drop,
-                                 axis_name=self.axis_name, name=f"up{i}_b{j}")(x, train)
+                                 axis_name=self.axis_name, dtype=self.dtype,
+                                 name=f"up{i}_b{j}")(x, train)
             out.append(x.transpose(0, 4, 1, 2, 3))
         return out

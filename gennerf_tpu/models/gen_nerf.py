@@ -67,6 +67,7 @@ class GenNerf(nn.Module):
                 blur_image=s.blur_image,
                 kernel_size=s.kernel_size,
                 sigma=s.sigma,
+                dtype=self.dtype,
             )
         if enc.use_pointnet:
             p = enc.pointnet
@@ -87,11 +88,13 @@ class GenNerf(nn.Module):
                 use_unet3d=p.unet3d,
                 unet3d_f_maps=p.unet3d_f_maps,
                 unet3d_num_levels=p.unet3d_num_levels,
+                dtype=self.dtype,
             )
             self.merger = FeaturePlaneMerger(
                 strategy=enc.plane_merger.strategy,
                 alpha=enc.plane_merger.alpha,
                 c_dim=p.c_dim,
+                dtype=self.dtype,
             )
         d_code = (
             positional_encoding_dim(self.cfg.code.num_freqs, 3, self.cfg.code.include_input)
@@ -113,7 +116,7 @@ class GenNerf(nn.Module):
             alpha=m.alpha,
             dtype=self.dtype,
         )
-        self.head_geo = TSDFHeadSimple()
+        self.head_geo = TSDFHeadSimple(dtype=self.dtype)
 
     def _plane_coords(self, xyz: jnp.ndarray) -> jnp.ndarray:
         """World points -> the coordinate frame the triplane operations see.
@@ -188,9 +191,12 @@ class GenNerf(nn.Module):
                 return (vol_acc + vol, val_acc + val), None
 
             nx, ny, nz = voxel_dim
+            # accumulator policy (bf16-mixed): the running sum over T frames
+            # stays f32 — bf16 accumulation degrades with sequence length
+            feat_t = feat_t.astype(jnp.float32)
             init = (
-                jnp.zeros((B, C, nx, ny, nz), feat_2d.dtype),
-                jnp.zeros((B, 1, nx, ny, nz), feat_2d.dtype),
+                jnp.zeros((B, C, nx, ny, nz), jnp.float32),
+                jnp.zeros((B, 1, nx, ny, nz), jnp.float32),
             )
             (volume, valid), _ = jax.lax.scan(fold, init, (proj_t, feat_t))
 

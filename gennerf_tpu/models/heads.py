@@ -18,9 +18,12 @@ from .common import xavier_uniform_tanh, zeros_init
 class TSDFHeadSimple(nn.Module):
     """Linear -> tanh point-wise TSDF regressor (reference heads3d.py:24-50)."""
 
+    dtype: jnp.dtype = jnp.float32
+
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        y = nn.Dense(1, kernel_init=xavier_uniform_tanh(), bias_init=zeros_init)(x)
+        y = nn.Dense(1, kernel_init=xavier_uniform_tanh(), bias_init=zeros_init,
+                     dtype=self.dtype)(x)
         return jnp.tanh(y)
 
 
@@ -43,6 +46,7 @@ class TSDFHead(nn.Module):
     loss_log_transform: bool = True
     loss_log_transform_shift: float = 1.0
     sparse_threshold: Sequence[float] = (0.99, 0.99, 0.99)
+    dtype: jnp.dtype = jnp.float32
 
     @property
     def voxel_sizes(self):
@@ -77,7 +81,7 @@ class TSDFHead(nn.Module):
         for i, x in enumerate(xs):
             # 1x1x1 conv == per-voxel Dense over channels (channels-first in)
             h = x.transpose(0, 2, 3, 4, 1)
-            tsdf = nn.Dense(1, use_bias=False, name=f"decoder_{i}")(h)
+            tsdf = nn.Dense(1, use_bias=False, dtype=self.dtype, name=f"decoder_{i}")(h)
             tsdf = jnp.tanh(tsdf).transpose(0, 4, 1, 2, 3) * self.label_smoothing
 
             if self.loss_split == "pred" and i > 0:
@@ -89,13 +93,15 @@ class TSDFHead(nn.Module):
                 tsdf = jnp.where(mask_prev, tsdf, jnp.sign(prev_up) * 0.999)
                 mask_surface_pred.append(mask_prev)
 
-            output["vol_%02d_tsdf" % voxel_sizes[i]] = tsdf
+            # output volumes are f32 regardless of compute dtype (they feed
+            # npz export, marching cubes, and f32 loss math downstream)
+            output["vol_%02d_tsdf" % voxel_sizes[i]] = tsdf.astype(jnp.float32)
 
         if targets is not None:
             for i, vs in enumerate(voxel_sizes):
                 key = "vol_%02d_tsdf" % vs
-                pred = output[key]
-                trgt = targets[key]
+                pred = output[key].astype(jnp.float32)
+                trgt = targets[key].astype(jnp.float32)
                 mask_observed = trgt < 1
                 mask_outside = jnp.all(trgt == 1, axis=-1, keepdims=True)
                 if self.loss_log_transform:
@@ -133,6 +139,7 @@ class VoxelHeads(nn.Module):
     tsdf_loss_log_transform: bool = True
     tsdf_loss_log_transform_shift: float = 1.0
     tsdf_sparse_threshold: Sequence[float] = (0.99, 0.99, 0.99)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, xs, targets=None):
@@ -149,6 +156,7 @@ class VoxelHeads(nn.Module):
                 loss_log_transform=self.tsdf_loss_log_transform,
                 loss_log_transform_shift=self.tsdf_loss_log_transform_shift,
                 sparse_threshold=self.tsdf_sparse_threshold,
+                dtype=self.dtype,
                 name="tsdf_head",
             )(xs, targets)
             outputs.update(out)

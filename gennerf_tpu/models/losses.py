@@ -134,6 +134,18 @@ def calculate_loss(
         (scalar combined loss, dict of per-term scalar means incl 'combined').
     """
     assert cfg.use_tsdf or cfg.use_isdf
+    # mixed-precision policy: all loss math runs f32 even when the decoder
+    # computed bf16 outputs (trainer.precision=bf16-mixed)
+    outputs = {
+        k: v.astype(jnp.float32) if hasattr(v, "astype") else v
+        for k, v in outputs.items()
+    }
+    targets = {
+        k: v.astype(jnp.float32)
+        if hasattr(v, "astype") and jnp.issubdtype(v.dtype, jnp.floating)
+        else v
+        for k, v in targets.items()
+    }
     valid = targets.get("valid")
     losses: Dict[str, jnp.ndarray] = {}
     loss_mat = 0.0

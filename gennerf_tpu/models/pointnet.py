@@ -46,6 +46,8 @@ class LocalPoolPointnet(nn.Module):
     use_unet3d: bool = False
     unet3d_f_maps: int = 32
     unet3d_num_levels: int = 3
+    # compute dtype (bf16-mixed training); params stay f32
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, p: jnp.ndarray) -> Dict[str, jnp.ndarray]:
@@ -71,16 +73,16 @@ class LocalPoolPointnet(nn.Module):
                 index[plane] = coordinate2index(coord, reso)  # (B, N)
                 num_cells[plane] = reso * reso
 
-        net = nn.Dense(2 * self.hidden_dim, name="fc_pos")(p)
-        net = ResnetBlockFC(size_out=self.hidden_dim, name="block_0")(net)
+        net = nn.Dense(2 * self.hidden_dim, dtype=self.dtype, name="fc_pos")(p)
+        net = ResnetBlockFC(size_out=self.hidden_dim, dtype=self.dtype, name="block_0")(net)
         for i in range(1, self.n_blocks):
             pooled = 0
             for plane in self.plane_type:
                 pooled += pool_and_gather(net, index[plane], num_cells[plane], self.scatter_type)
             net = jnp.concatenate([net, pooled], axis=-1)
-            net = ResnetBlockFC(size_out=self.hidden_dim, name=f"block_{i}")(net)
+            net = ResnetBlockFC(size_out=self.hidden_dim, dtype=self.dtype, name=f"block_{i}")(net)
 
-        c = nn.Dense(self.c_dim, name="fc_c")(net)  # (B, N, c_dim)
+        c = nn.Dense(self.c_dim, dtype=self.dtype, name="fc_c")(net)  # (B, N, c_dim)
 
         unet = (
             UNet(
@@ -88,6 +90,7 @@ class LocalPoolPointnet(nn.Module):
                 depth=self.unet_depth,
                 start_filts=self.unet_start_filts,
                 merge_mode=self.unet_merge_mode,
+                dtype=self.dtype,
                 name="unet",
             )
             if self.use_unet
@@ -140,6 +143,7 @@ class FeaturePlaneMerger(nn.Module):
     strategy: str = "average"  # 'average' | 'learn'
     alpha: float = 0.5
     c_dim: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -151,7 +155,7 @@ class FeaturePlaneMerger(nn.Module):
                 for k in plane_1
             }
         if self.strategy == "learn":
-            conv = nn.Conv(self.c_dim, (1, 1), name="merge_conv")
+            conv = nn.Conv(self.c_dim, (1, 1), dtype=self.dtype, name="merge_conv")
             out = {}
             for k in plane_1:
                 combined = jnp.concatenate([plane_1[k], plane_2[k]], axis=1)

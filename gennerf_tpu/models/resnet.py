@@ -22,6 +22,7 @@ class BasicBlock(nn.Module):
     downsample: bool = False
     norm_type: str = "batch"
     axis_name: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
 
     expansion = 1
 
@@ -31,17 +32,17 @@ class BasicBlock(nn.Module):
             return nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 axis_name=self.axis_name if self.norm_type == "sync_batch" else None,
-                name=name,
+                dtype=jnp.float32, name=name,
             )
 
         identity = x
-        out = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1, use_bias=False, name="conv1")(x)
+        out = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1, use_bias=False, dtype=self.dtype, name="conv1")(x)
         out = norm("bn1")(out)
         out = nn.relu(out)
-        out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False, name="conv2")(out)
+        out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False, dtype=self.dtype, name="conv2")(out)
         out = norm("bn2")(out)
         if self.downsample:
-            identity = nn.Conv(self.planes, (1, 1), strides=self.stride, use_bias=False, name="down_conv")(x)
+            identity = nn.Conv(self.planes, (1, 1), strides=self.stride, use_bias=False, dtype=self.dtype, name="down_conv")(x)
             identity = norm("down_bn")(identity)
         return nn.relu(out + identity)
 
@@ -52,6 +53,7 @@ class Bottleneck(nn.Module):
     downsample: bool = False
     norm_type: str = "batch"
     axis_name: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
 
     expansion = 4
 
@@ -61,18 +63,18 @@ class Bottleneck(nn.Module):
             return nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 axis_name=self.axis_name if self.norm_type == "sync_batch" else None,
-                name=name,
+                dtype=jnp.float32, name=name,
             )
 
         identity = x
-        out = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
         out = nn.relu(norm("bn1")(out))
-        out = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1, use_bias=False, name="conv2")(out)
+        out = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1, use_bias=False, dtype=self.dtype, name="conv2")(out)
         out = nn.relu(norm("bn2")(out))
-        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False, name="conv3")(out)
+        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(out)
         out = norm("bn3")(out)
         if self.downsample:
-            identity = nn.Conv(self.planes * 4, (1, 1), strides=self.stride, use_bias=False, name="down_conv")(x)
+            identity = nn.Conv(self.planes * 4, (1, 1), strides=self.stride, use_bias=False, dtype=self.dtype, name="down_conv")(x)
             identity = norm("down_bn")(identity)
         return nn.relu(out + identity)
 
@@ -96,6 +98,8 @@ class ResNetStages(nn.Module):
     use_first_pool: bool = True
     norm_type: str = "batch"
     axis_name: Optional[str] = None
+    # compute dtype for convs (mixed precision: norms stay f32, params f32)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> Sequence[jnp.ndarray]:
@@ -103,11 +107,11 @@ class ResNetStages(nn.Module):
         [stem, stage1, ..., stage_num_stages]."""
         block_cls, layer_counts = RESNET_SPECS[self.backbone]
 
-        x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False, name="conv1")(x)
+        x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             axis_name=self.axis_name if self.norm_type == "sync_batch" else None,
-            name="bn1",
+            dtype=jnp.float32, name="bn1",
         )(x)
         x = nn.relu(x)
         feats = [x]
@@ -124,7 +128,7 @@ class ResNetStages(nn.Module):
                 x = block_cls(
                     planes, stride=s, downsample=needs_down,
                     norm_type=self.norm_type, axis_name=self.axis_name,
-                    name=f"layer{stage + 1}_{b}",
+                    dtype=self.dtype, name=f"layer{stage + 1}_{b}",
                 )(x, train=train)
             feats.append(x)
             planes *= 2

@@ -71,6 +71,8 @@ class SpatialEncoder(nn.Module):
     sigma: float = 1.0
     out_channels: Optional[int] = None
     axis_name: Optional[str] = None
+    # compute dtype for convs (bf16-mixed); norms and params stay f32
+    dtype: jnp.dtype = jnp.float32
 
     @property
     def latent_size(self) -> int:
@@ -105,6 +107,7 @@ class SpatialEncoder(nn.Module):
             use_first_pool=self.use_first_pool,
             norm_type=self.norm_type,
             axis_name=self.axis_name,
+            dtype=self.dtype,
             name="resnet",
         )(x, train=train)
 
@@ -115,5 +118,5 @@ class SpatialEncoder(nn.Module):
         ]
         latent = jnp.concatenate(ups, axis=-1)
         if self.out_channels:
-            latent = nn.Conv(self.out_channels, (1, 1), name="proj")(latent)
+            latent = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="proj")(latent)
         return latent.transpose(0, 3, 1, 2)  # back to NCHW

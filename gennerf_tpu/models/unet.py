@@ -20,11 +20,12 @@ zeros_init = nn.initializers.zeros
 class _DownConv(nn.Module):
     out_channels: int
     pooling: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):  # NHWC
-        x = nn.relu(nn.Conv(self.out_channels, (3, 3), padding=1, kernel_init=xavier_normal(), bias_init=zeros_init)(x))
-        x = nn.relu(nn.Conv(self.out_channels, (3, 3), padding=1, kernel_init=xavier_normal(), bias_init=zeros_init)(x))
+        x = nn.relu(nn.Conv(self.out_channels, (3, 3), padding=1, kernel_init=xavier_normal(), bias_init=zeros_init, dtype=self.dtype)(x))
+        x = nn.relu(nn.Conv(self.out_channels, (3, 3), padding=1, kernel_init=xavier_normal(), bias_init=zeros_init, dtype=self.dtype)(x))
         before_pool = x
         if self.pooling:
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
@@ -35,6 +36,7 @@ class _UpConv(nn.Module):
     out_channels: int
     merge_mode: str = "concat"
     up_mode: str = "transpose"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, from_down, from_up):  # NHWC
@@ -42,17 +44,18 @@ class _UpConv(nn.Module):
             up = nn.ConvTranspose(
                 self.out_channels, (2, 2), strides=(2, 2),
                 kernel_init=xavier_normal(), bias_init=zeros_init,
+                dtype=self.dtype,
             )(from_up)
         else:
             B, H, W, C = from_up.shape
             up = jnp.repeat(jnp.repeat(from_up, 2, axis=1), 2, axis=2)
-            up = nn.Conv(self.out_channels, (1, 1), kernel_init=xavier_normal(), bias_init=zeros_init)(up)
+            up = nn.Conv(self.out_channels, (1, 1), kernel_init=xavier_normal(), bias_init=zeros_init, dtype=self.dtype)(up)
         if self.merge_mode == "concat":
             x = jnp.concatenate([up, from_down], axis=-1)
         else:
             x = up + from_down
-        x = nn.relu(nn.Conv(self.out_channels, (3, 3), padding=1, kernel_init=xavier_normal(), bias_init=zeros_init)(x))
-        x = nn.relu(nn.Conv(self.out_channels, (3, 3), padding=1, kernel_init=xavier_normal(), bias_init=zeros_init)(x))
+        x = nn.relu(nn.Conv(self.out_channels, (3, 3), padding=1, kernel_init=xavier_normal(), bias_init=zeros_init, dtype=self.dtype)(x))
+        x = nn.relu(nn.Conv(self.out_channels, (3, 3), padding=1, kernel_init=xavier_normal(), bias_init=zeros_init, dtype=self.dtype)(x))
         return x
 
 
@@ -64,6 +67,8 @@ class UNet(nn.Module):
     start_filts: int = 64
     up_mode: str = "transpose"
     merge_mode: str = "concat"
+    # compute dtype (bf16-mixed); params stay f32
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -74,11 +79,11 @@ class UNet(nn.Module):
         for i in range(self.depth):
             outs = self.start_filts * (2**i)
             pooling = i < self.depth - 1
-            x, before_pool = _DownConv(outs, pooling, name=f"down_{i}")(x)
+            x, before_pool = _DownConv(outs, pooling, dtype=self.dtype, name=f"down_{i}")(x)
             encoder_outs.append(before_pool)
         for i in range(self.depth - 1):
             outs = outs // 2
             before_pool = encoder_outs[-(i + 2)]
-            x = _UpConv(outs, self.merge_mode, self.up_mode, name=f"up_{i}")(before_pool, x)
-        x = nn.Conv(self.num_classes, (1, 1), kernel_init=xavier_normal(), bias_init=zeros_init, name="conv_final")(x)
+            x = _UpConv(outs, self.merge_mode, self.up_mode, dtype=self.dtype, name=f"up_{i}")(before_pool, x)
+        x = nn.Conv(self.num_classes, (1, 1), kernel_init=xavier_normal(), bias_init=zeros_init, dtype=self.dtype, name="conv_final")(x)
         return x.transpose(0, 3, 1, 2)

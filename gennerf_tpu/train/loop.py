@@ -79,6 +79,20 @@ class Trainer:
     def fit(self, task, datamodule, seed: int = 0, ckpt_path: Optional[str] = None,
             config_snapshot: Optional[dict] = None):
         key = jax.random.PRNGKey(seed)
+        # precision sanity: the model's compute dtype is fixed at task
+        # construction (make_task(precision=...)); a mismatch with the
+        # trainer's configured precision means the entry point didn't plumb
+        # it through — surface that instead of silently training f32
+        from .tasks import dtype_for_precision
+
+        want = dtype_for_precision(self.precision)
+        task_dtype = getattr(task, "dtype", None)
+        if task_dtype is not None and task_dtype != want:
+            self.log.warning(
+                f"trainer.precision={self.precision!r} maps to {want} but the "
+                f"task's model computes in {task_dtype}; pass precision= to "
+                "make_task to train at the configured precision"
+            )
         train_loader = datamodule.train_dataloader()
         val_loader = datamodule.val_dataloader()
 

@@ -112,7 +112,9 @@ def predict_tsdf_volume(
             pass
     pts = dense_grid_points(voxel_dim, voxel_size, origin)
     tsdf = decode_dense(model, variables, repr_, pts, origin_a, chunk_size)
-    return tsdf.reshape(voxel_dim)
+    # contract: every tier returns f32 (the grid kernel already does; a
+    # bf16 model's gather tier would otherwise leak bf16 into npz exports)
+    return tsdf.reshape(voxel_dim).astype(jnp.float32)
 
 
 def _separable_grid_setup(model: GenNerf, variables, repr_: SceneRepr):

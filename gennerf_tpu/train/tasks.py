@@ -31,6 +31,21 @@ def _array_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
     return {k: v for k, v in batch.items() if isinstance(v, (np.ndarray, jnp.ndarray))}
 
 
+def dtype_for_precision(precision) -> jnp.dtype:
+    """Map the trainer.precision surface (reference
+    configs/trainer/default.yaml:12 'bf16-mixed', gpu.yaml:7 '16-mixed') to
+    the model compute dtype. Mixed = bf16 activations/matmuls with f32
+    params, f32 norms, f32 accumulators, f32 losses; '16-mixed' (fp16) maps
+    to bf16 — the TPU has no fp16 pipeline and bf16 needs no loss scaling
+    (same exponent range as f32)."""
+    if precision in (None, 32, "32", "32-true", "32-mixed", "f32", "float32"):
+        return jnp.float32
+    if precision in (16, "16", "bf16", "bf16-mixed", "bf16-true", "16-mixed",
+                     "16-true", "bfloat16"):
+        return jnp.bfloat16
+    raise ValueError(f"unsupported trainer.precision {precision!r}")
+
+
 def _maybe_load_pretrained(variables: dict, cfg) -> dict:
     """Graft ported ImageNet backbone weights (scripts/port_weights.py npz)
     into freshly-initialized variables when configured (reference
@@ -47,7 +62,7 @@ def _maybe_load_pretrained(variables: dict, cfg) -> dict:
 class GenNerfTask:
     name = "GenNerf"
 
-    def __init__(self, model_cfg_dict: Dict[str, Any]):
+    def __init__(self, model_cfg_dict: Dict[str, Any], precision=None):
         from ..models.teacher import make_teacher
 
         self.cfg: GenNerfConfig = config_from_dict(GenNerfConfig, model_cfg_dict)
@@ -56,7 +71,8 @@ class GenNerfTask:
             assert self.cfg.encoder.auxiliary_dim == teacher.feature_dim, (
                 "encoder.auxiliary_dim must equal teacher.feature_dim"
             )
-        self.model = GenNerf(self.cfg, teacher=teacher)
+        self.dtype = dtype_for_precision(precision)
+        self.model = GenNerf(self.cfg, teacher=teacher, dtype=self.dtype)
         self.tx = make_optimizer(self.cfg.optimizer)
         self.train_step = make_gen_nerf_train_step(self.model, self.cfg, self.tx)
         self.eval_step = make_gen_nerf_eval_step(self.model, self.cfg)
@@ -122,9 +138,10 @@ class GenNerfTask:
 class VoxelNetTask:
     name = "VoxelNet"
 
-    def __init__(self, model_cfg_dict: Dict[str, Any]):
+    def __init__(self, model_cfg_dict: Dict[str, Any], precision=None):
         self.cfg: VoxelNetConfig = config_from_dict(VoxelNetConfig, model_cfg_dict)
-        self.model = VoxelNet(self.cfg)
+        self.dtype = dtype_for_precision(precision)
+        self.model = VoxelNet(self.cfg, dtype=self.dtype)
         self.tx = make_optimizer(self.cfg.optimizer)
         self.train_step = make_voxel_net_train_step(self.model, self.cfg, self.tx)
         self.eval_step = make_voxel_net_eval_step(self.model, self.cfg)
@@ -184,10 +201,13 @@ class VoxelNetTask:
         )
 
 
-def make_task(model_cfg_dict: Dict[str, Any]):
+def make_task(model_cfg_dict: Dict[str, Any], precision=None):
+    """Build the model task. `precision` is the trainer.precision string
+    (reference trainer/default.yaml:12); bf16-mixed makes the model compute
+    in bf16 with f32 params/norms/accumulators/losses."""
     t = model_cfg_dict.get("type", "GenNerf")
     if t == "GenNerf":
-        return GenNerfTask(model_cfg_dict)
+        return GenNerfTask(model_cfg_dict, precision=precision)
     if t == "VoxelNet":
-        return VoxelNetTask(model_cfg_dict)
+        return VoxelNetTask(model_cfg_dict, precision=precision)
     raise NotImplementedError(f"model type {t}")

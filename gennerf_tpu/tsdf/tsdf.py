@@ -80,15 +80,21 @@ class TSDF:
     def save(self, fname: str) -> None:
         """npz layout identical to the reference (tsdf.py:107-117) so GT
         volumes interchange between frameworks."""
+        def portable(x):
+            # bf16 (model compute dtype) round-trips through npz as raw
+            # void bytes numpy can't reload — store f32 like the reference
+            a = np.asarray(x)
+            return a.astype(np.float32) if a.dtype.kind == "V" or a.dtype == jnp.bfloat16 else a
+
         data = {
-            "origin": np.asarray(self.origin),
+            "origin": portable(self.origin),
             "voxel_size": self.voxel_size,
-            "tsdf": np.asarray(self.tsdf_vol),
+            "tsdf": portable(self.tsdf_vol),
         }
         for key, value in self.attribute_vols.items():
-            data[key] = np.asarray(value)
+            data[key] = portable(value)
         for key, value in self.attributes.items():
-            data[key] = np.asarray(value)
+            data[key] = portable(value)
         np.savez_compressed(fname, **data)
 
     @classmethod

@@ -35,6 +35,7 @@ def predict(cfg: dict):
     # save_hyperparameters / load_from_checkpoint contract): prefer the
     # snapshot's model config so the restored pytree always matches
     model_cfg = cfg["model"]
+    precision = cfg.get("trainer", {}).get("precision")
     snap_path = os.path.join(cfg["ckpt_path"], "config.json")
     if os.path.exists(snap_path):
         import json
@@ -45,10 +46,14 @@ def predict(cfg: dict):
             log_cfg_source = "checkpoint snapshot"
         else:
             log_cfg_source = "CLI (snapshot has no model key)"
+        # inference numerics follow the training precision unless the CLI
+        # overrides it (reference load_from_checkpoint restores hparams)
+        if precision is None:
+            precision = snap.get("trainer", {}).get("precision")
     else:
         log_cfg_source = "CLI (no snapshot)"
 
-    task = make_task(model_cfg)
+    task = make_task(model_cfg, precision=precision)
     log.info(f"model config source: {log_cfg_source}")
     datamodule = ScannetDataModule(cfg["data"], seed=cfg.get("seed") or 0)
     loader = datamodule.predict_dataloader()

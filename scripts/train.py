@@ -76,8 +76,11 @@ def train(cfg: dict):
     log.info(f"instantiating datamodule (dataset_type={cfg['data'].get('dataset_type')})")
     datamodule = ScannetDataModule(cfg["data"], num_devices=num_devices, seed=seed)
 
-    log.info(f"instantiating model <{cfg['model'].get('type')}>")
-    task = make_task(cfg["model"])
+    precision = trainer_cfg.get("precision", "bf16-mixed")
+    log.info(
+        f"instantiating model <{cfg['model'].get('type')}> (precision={precision})"
+    )
+    task = make_task(cfg["model"], precision=precision)
 
     logger = MetricsLogger(output_dir, cfg.get("logger"))
     ckpt_cfg = cfg.get("callbacks", {}).get("model_checkpoint", {})
