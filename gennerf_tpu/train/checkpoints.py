@@ -17,18 +17,51 @@ from .state import TrainState
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, save_top_k: int = -1, save_last: bool = True):
+    """Orbax-backed checkpoint manager.
+
+    Default parity behavior (reference configs/callbacks/default.yaml:9-14:
+    monitor null, save_last, save_top_k -1): every epoch kept. With a
+    `monitor` (e.g. 'val_combined') and save_top_k > 0, orbax keeps the
+    top-k checkpoints by the monitored metric and `best_epoch()` exposes
+    the winner — the analog of Lightning's `best_model_path` that
+    `trainer.test` restores (reference src/train.py:101-108)."""
+
+    def __init__(self, directory: str, save_top_k: int = -1, save_last: bool = True,
+                 monitor: Optional[str] = None, mode: str = "min"):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         max_to_keep = None if save_top_k == -1 else max(save_top_k, 1)
+        self.monitor = monitor
+        if mode not in ("min", "max"):
+            raise ValueError(f"monitor mode must be 'min' or 'max', got {mode!r}")
+        self.mode = mode
+        opts: Dict[str, Any] = dict(max_to_keep=max_to_keep, create=True)
+        if monitor:
+            opts.update(
+                best_fn=lambda metrics: float(metrics[monitor]),
+                best_mode=mode,
+                # epochs without validation save no metrics; keep them out
+                # of the top-k ranking but don't crash on them
+                keep_checkpoints_without_metrics=False,
+            )
         self._mgr = ocp.CheckpointManager(
-            self.directory,
-            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
+            self.directory, options=ocp.CheckpointManagerOptions(**opts)
         )
         self.save_last = save_last
 
-    def save(self, epoch: int, state: TrainState, config: Optional[Dict[str, Any]] = None):
-        self._mgr.save(epoch, args=ocp.args.StandardSave(state))
+    def save(self, epoch: int, state: TrainState,
+             config: Optional[Dict[str, Any]] = None,
+             metrics: Optional[Dict[str, float]] = None):
+        kwargs = {}
+        if self.monitor:
+            if metrics is not None and self.monitor in metrics:
+                kwargs["metrics"] = {self.monitor: float(metrics[self.monitor])}
+            else:
+                # rank unmonitored epochs last so they never displace a
+                # measured checkpoint from the top-k
+                worst = float("inf") if self.mode == "min" else float("-inf")
+                kwargs["metrics"] = {self.monitor: worst}
+        self._mgr.save(epoch, args=ocp.args.StandardSave(state), **kwargs)
         self._mgr.wait_until_finished()
         if config is not None:
             with open(os.path.join(self.directory, "config.json"), "w") as f:
@@ -40,8 +73,21 @@ class CheckpointManager:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
         return self._mgr.restore(step, args=ocp.args.StandardRestore(state_template))
 
+    def restore_best(self, state_template: TrainState) -> TrainState:
+        """Restore the best monitored checkpoint (falls back to latest when
+        no monitor is configured or nothing was ranked)."""
+        return self.restore(state_template, self.best_epoch())
+
     def latest_epoch(self) -> Optional[int]:
         return self._mgr.latest_step()
+
+    def best_epoch(self) -> Optional[int]:
+        """Epoch of the best monitored metric; None without a monitor (the
+        caller then uses the latest, which is the reference's behavior when
+        ModelCheckpoint has monitor: null)."""
+        if not self.monitor:
+            return None
+        return self._mgr.best_step()
 
     def close(self):
         self._mgr.close()

@@ -174,6 +174,7 @@ class Trainer:
                 f" ({dt:.1f}s)"
             )
 
+            val_metrics = None
             if (epoch + 1) % self.check_val_every_n_epoch == 0:
                 val_metrics = self.validate(task, state, val_loader, key, epoch,
                                             reconstruct=True)
@@ -204,7 +205,7 @@ class Trainer:
                             stop = True
 
             if self.ckpt is not None:
-                self.ckpt.save(epoch, state, config_snapshot)
+                self.ckpt.save(epoch, state, config_snapshot, metrics=val_metrics)
             if stop:
                 break
 

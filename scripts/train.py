@@ -87,6 +87,8 @@ def train(cfg: dict):
     ckpt = CheckpointManager(
         ckpt_cfg.get("dirpath", os.path.join(output_dir, "checkpoints")),
         save_top_k=ckpt_cfg.get("save_top_k", -1),
+        monitor=ckpt_cfg.get("monitor"),
+        mode=ckpt_cfg.get("mode", "min"),
     )
     es = cfg.get("callbacks", {}).get("early_stopping") or {}
     # trainer_cfg takes precedence over the callbacks group if both specify
@@ -114,6 +116,12 @@ def train(cfg: dict):
         log.info("starting testing")
         if state is None:
             state = trainer_restore_state(trainer, task, datamodule, cfg)
+        elif ckpt.best_epoch() is not None:
+            # a monitored ModelCheckpoint selects the BEST epoch for the
+            # test pass, not the final state (reference src/train.py:101-108
+            # tests with checkpoint_callback.best_model_path)
+            state = ckpt.restore_best(state)
+            log.info(f"testing with best checkpoint (epoch {ckpt.best_epoch()})")
         trainer.test(task, state, datamodule)
 
     log.info(f"output dir: {output_dir}")

@@ -335,3 +335,50 @@ class TestHybridMeshCLI:
         ])
         val = metrics.get("train_combined", metrics.get("train_loss"))
         assert val is not None and np.isfinite(val)
+
+
+@pytest.mark.slow
+class TestBestCheckpointSelection:
+    def test_monitored_topk_keeps_best_epoch(self, synth_data, tmp_path):
+        """CLI run with a monitored ModelCheckpoint: top-1 retention keeps
+        exactly the epoch with the best val_combined, and the test pass
+        restores it (reference src/train.py:101-108 best_model_path)."""
+        root, _ = synth_data
+        import train as train_cli
+
+        out = str(tmp_path / "run_best")
+        train_cli.main([
+            "experiment=overfit_synthetic",
+            "data=frame",
+            f"paths.data_dir={root}",
+            f"paths.output_dir={out}",
+            "trainer.max_epochs=4",
+            "trainer.check_val_every_n_epoch=1",
+            "trainer.num_sanity_val_steps=0",
+            "callbacks.model_checkpoint.monitor=val_combined",
+            "callbacks.model_checkpoint.save_top_k=1",
+            "test=true",
+            "data.datasets_train=[scans/scene_synth0/info.json]",
+            "data.datasets_val=[scans/scene_synth0/info.json]",
+            "data.datasets_test=[scans/scene_synth0/info.json]",
+            "data.frame_idx=0",
+            "data.length_train=4",
+            "data.length_val=1",
+            "data.voxel_dim_train=[40,40,20]",
+            "data.voxel_dim_val=[40,40,20]",
+            "data.voxel_dim_test=[40,40,20]",
+            "data.voxel_size=0.08",
+            "model.encoder.pointnet.plane_resolution=32",
+            "model.encoder.pointnet.num_sparse_points=128",
+            "model.mlp.d_hidden=64",
+            "model.ray.num_rays=16",
+        ])
+        jsonl = os.path.join(out, "csv", "metrics.jsonl")
+        rows = [json.loads(l) for l in open(jsonl)]
+        vals = [(i, r["val_combined"]) for i, r in enumerate(rows) if "val_combined" in r]
+        assert len(vals) == 4
+        best_idx = int(np.argmin([v for _, v in vals]))
+        # the retained checkpoint step equals the best-val epoch
+        ck = os.path.join(out, "checkpoints")
+        kept = sorted(int(d) for d in os.listdir(ck) if d.isdigit())
+        assert kept == [best_idx], (kept, vals)
