@@ -115,6 +115,7 @@ def shard_batch(batch, mesh: Mesh, axis_name: Optional[str] = None):
         else int(np.prod(list(mesh.shape.values())))
     )
     warned = [_REPLICATE_WARNED]
+    n_proc = jax.process_count()
 
     def put(x):
         sharded = (
@@ -132,7 +133,23 @@ def shard_batch(batch, mesh: Mesh, axis_name: Optional[str] = None):
                 "happens every step, fix data.batch_size.",
                 stacklevel=3,
             )
-        return jax.device_put(x, NamedSharding(mesh, spec_sharded if sharded else P()))
+        spec = spec_sharded if sharded else P()
+        if n_proc > 1:
+            # multi-process runtime (parallel.distributed): device_put
+            # cannot address other hosts' devices. Every process holds the
+            # GLOBAL batch (replicated-load contract, distributed.py); it
+            # contributes its row block for sharded arrays, the whole
+            # array for replicated ones.
+            x = np.asarray(x)
+            sh = NamedSharding(mesh, spec)
+            if sharded:
+                from .distributed import local_batch_slice
+
+                local = x[local_batch_slice(x.shape[0])]
+            else:
+                local = x
+            return jax.make_array_from_process_local_data(sh, local, x.shape)
+        return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree.map(put, batch)
 

@@ -262,5 +262,15 @@ class MetricsLogger:
         )
 
     def log_metrics(self, metrics: Dict[str, Any], step: int) -> None:
+        # rank-0-only file writes under the multi-process runtime (the
+        # metrics are jit-global and identical on every process; N
+        # processes appending the same rows would duplicate them)
+        try:
+            import jax
+
+            if jax.process_index() != 0:
+                return
+        except Exception:
+            pass
         for lg in self.scalar_loggers:
             lg.log_metrics(metrics, step)

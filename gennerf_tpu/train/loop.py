@@ -55,6 +55,11 @@ class Trainer:
         self.logger = logger or MetricsLogger(output_dir)
         self.ckpt = ckpt
         num_devices = None if devices in ("auto", None) else int(devices)
+        if jax.process_count() > 1:
+            # multi-process runtime: trainer.devices means LOCAL devices per
+            # process (the reference's Lightning semantic); the mesh always
+            # spans all global devices so jit programs stay global
+            num_devices = None
         if num_slices and int(num_slices) > 1:
             # multi-slice pod: hybrid (slice, data) = (DCN, ICI) mesh;
             # batch shards over both axes (parallel.mesh.make_hybrid_mesh)
@@ -234,7 +239,10 @@ class Trainer:
             last_batch = batch
         out = {f"{mode}_{k_}": float(v) / max(count, 1) for k_, v in sums.items()}
 
-        if reconstruct and last_batch is not None:
+        # reconstruction is process-local compute + file artifacts: rank 0
+        # only under the multi-process runtime (reference rank-0-only
+        # visualization, voxel_net.py:315)
+        if reconstruct and last_batch is not None and jax.process_index() == 0:
             try:
                 pred, trgt = task.reconstruct(state, last_batch, b_idx=0)
                 self.logger.local.log_tsdf(pred, f"{mode}_tsdf/{mode}_pred_tsdf")

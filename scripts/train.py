@@ -24,6 +24,30 @@ def select_platform(trainer_cfg):
         os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache"),
     )
     accel = trainer_cfg.get("accelerator", "auto")
+    # multi-process runtime (reference DDP spawn / ddp_sim): join the
+    # coordination service BEFORE any backend init. Triggered by
+    # trainer.num_nodes > 1 or the GENNERF_NUM_PROCESSES env.
+    num_nodes = int(trainer_cfg.get("num_nodes") or 1)
+    env_procs = os.environ.get("GENNERF_NUM_PROCESSES")
+    if num_nodes > 1 or (env_procs and int(env_procs) > 1):
+        from gennerf_tpu.parallel.distributed import init_distributed
+
+        init_distributed(
+            coordinator_address=trainer_cfg.get("coordinator_address"),
+            num_processes=num_nodes if num_nodes > 1 else None,
+            process_id=(
+                int(trainer_cfg["node_rank"])
+                if trainer_cfg.get("node_rank") is not None
+                else None
+            ),
+            platform="cpu" if accel == "cpu" else None,
+            local_device_count=(
+                int(trainer_cfg["devices"])
+                if accel == "cpu" and isinstance(trainer_cfg.get("devices"), int)
+                else None
+            ),
+        )
+        return
     if accel == "cpu":
         devices = trainer_cfg.get("devices")
         if isinstance(devices, int) and devices > 1:
@@ -72,6 +96,11 @@ def train(cfg: dict):
     trainer_cfg = dict(cfg.get("trainer", {}))
     devices = trainer_cfg.get("devices", "auto")
     num_devices = len(jax.devices()) if devices in ("auto", None) else int(devices)
+    if jax.process_count() > 1:
+        # multi-process runtime: trainer.devices is LOCAL devices per
+        # process; the data-parallel width (batch divisibility, mesh) is
+        # the GLOBAL device count
+        num_devices = jax.device_count()
 
     log.info(f"instantiating datamodule (dataset_type={cfg['data'].get('dataset_type')})")
     datamodule = ScannetDataModule(cfg["data"], num_devices=num_devices, seed=seed)
