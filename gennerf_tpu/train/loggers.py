@@ -148,11 +148,82 @@ def _tf_event(wall_time: float, step: int = 0, file_version: str = None,
     return msg
 
 
+def _pb_enum(field: int, v: int) -> bytes:
+    return _varint(field << 3) + _varint(v)
+
+
+def _tensor_proto(arr: np.ndarray) -> bytes:
+    """tensorflow TensorProto (tensor.proto): dtype=1 enum,
+    tensor_shape=2 TensorShapeProto, tensor_content=4 bytes.
+    TensorShapeProto.Dim: size=1 int64."""
+    dtypes = {np.dtype(np.float32): 1, np.dtype(np.int32): 3,
+              np.dtype(np.uint8): 4}
+    arr = np.ascontiguousarray(arr)
+    if arr.dtype not in dtypes:
+        arr = arr.astype(np.float32)
+    shape = b"".join(_pb_bytes(2, _pb_int(1, int(d))) for d in arr.shape)
+    return (
+        _pb_enum(1, dtypes[arr.dtype])
+        + _pb_bytes(2, shape)
+        + _pb_bytes(4, arr.tobytes())
+    )
+
+
+def _summary_value_image(tag: str, png: bytes, h: int, w: int,
+                         colorspace: int = 3) -> bytes:
+    """Summary.Value{tag=1, image=4 Summary.Image{height=1, width=2,
+    colorspace=3, encoded_image_string=4}} (summary.proto)."""
+    img = (
+        _pb_int(1, int(h)) + _pb_int(2, int(w)) + _pb_int(3, int(colorspace))
+        + _pb_bytes(4, png)
+    )
+    return _pb_bytes(1, _pb_bytes(1, tag.encode()) + _pb_bytes(4, img))
+
+
+# tensorboard mesh plugin content types (plugin_data.proto)
+_MESH_VERTEX, _MESH_FACE, _MESH_COLOR = 1, 2, 3
+
+
+def _mesh_plugin_data(name: str, content_type: int, components: int,
+                      shape, json_config: str = "{}") -> bytes:
+    """tensorboard.mesh.MeshPluginData (plugin_data.proto): version=1,
+    name=2, content_type=3, components=4, json_config=5, shape=6."""
+    msg = (
+        _pb_int(1, 0)
+        + _pb_bytes(2, name.encode())
+        + _pb_enum(3, content_type)
+        + _pb_int(4, components)
+        + _pb_bytes(5, json_config.encode())
+    )
+    for d in shape:
+        msg += _pb_int(6, int(d))
+    return msg
+
+
+def _summary_value_mesh_tensor(tag: str, name: str, content_type: int,
+                               components: int, arr: np.ndarray) -> bytes:
+    """Summary.Value{tag=1, metadata=9 SummaryMetadata{plugin_data=1
+    PluginData{plugin_name=1 'mesh', content=2 MeshPluginData}}, tensor=8}."""
+    plugin = _pb_bytes(1, b"mesh") + _pb_bytes(
+        2, _mesh_plugin_data(name, content_type, components, arr.shape)
+    )
+    metadata = _pb_bytes(1, plugin)
+    return _pb_bytes(
+        1,
+        _pb_bytes(1, tag.encode())
+        + _pb_bytes(8, _tensor_proto(arr))
+        + _pb_bytes(9, metadata),
+    )
+
+
 class TensorBoardLogger:
     """Writes real tfevents files without tensorflow/tensorboardX: Event
     protos hand-encoded into TFRecord framing (length + masked-CRC32C),
     readable by stock TensorBoard. Reference surface:
-    configs/logger/tensorboard.yaml (lightning.TensorBoardLogger)."""
+    configs/logger/tensorboard.yaml (lightning.TensorBoardLogger) and
+    tensorboard_mesh.yaml (TensorBoardMeshLogger.add_mesh,
+    src/utils/tb_mesh_logger.py:20-44) — scalars + image summaries + mesh
+    plugin summaries all land in one events file."""
 
     def __init__(self, save_dir: str, name: str = "tensorboard"):
         self.dir = os.path.join(save_dir, name)
@@ -169,9 +240,59 @@ class TensorBoardLogger:
             f.write(record)
             f.write(struct.pack("<I", _masked_crc(record)))
 
+    def _write_summary(self, summary: bytes, step: int) -> None:
+        msg = _pb_double(1, time.time())
+        if step:
+            msg += _pb_int(2, int(step))
+        msg += _pb_bytes(5, summary)
+        self._write(msg)
+
     def log_metrics(self, metrics: Dict[str, Any], step: int) -> None:
         scalars = {k: float(v) for k, v in metrics.items()}
         self._write(_tf_event(time.time(), step=int(step), scalars=scalars))
+
+    def log_image(self, tag: str, image: np.ndarray, step: int = 0) -> None:
+        """image: (H, W, C) uint8 (or float, normalized here)."""
+        from ..utils.image import encode_png
+
+        arr = np.asarray(image)
+        if arr.ndim == 3 and arr.shape[0] in (1, 3):
+            arr = arr.transpose(1, 2, 0)
+        if arr.dtype != np.uint8:
+            lo, hi = float(arr.min()), float(arr.max())
+            arr = ((arr - lo) / max(hi - lo, 1e-9) * 255).astype(np.uint8)
+        h, w = arr.shape[:2]
+        c = 1 if arr.ndim == 2 else arr.shape[2]
+        self._write_summary(
+            _summary_value_image(tag, encode_png(arr), h, w, c), step
+        )
+
+    def log_mesh(self, tag: str, vertices: np.ndarray,
+                 faces: Optional[np.ndarray] = None,
+                 colors: Optional[np.ndarray] = None, step: int = 0) -> None:
+        """Mesh-plugin summary (the reference TensorBoardMeshLogger's
+        add_mesh surface). vertices (N, 3) float; faces (F, 3) int;
+        colors (N, 3) uint8. Each component is its own tagged tensor
+        summary carrying MeshPluginData metadata, batched to rank 3 as
+        the plugin requires."""
+        components = 1 << _MESH_VERTEX
+        if faces is not None:
+            components |= 1 << _MESH_FACE
+        if colors is not None:
+            components |= 1 << _MESH_COLOR
+        parts = [(f"{tag}_VERTEX", _MESH_VERTEX,
+                  np.asarray(vertices, np.float32)[None])]
+        if faces is not None:
+            parts.append((f"{tag}_FACE", _MESH_FACE,
+                          np.asarray(faces, np.int32)[None]))
+        if colors is not None:
+            parts.append((f"{tag}_COLOR", _MESH_COLOR,
+                          np.asarray(colors, np.uint8)[None]))
+        summary = b"".join(
+            _summary_value_mesh_tensor(t, tag, ct, components, a)
+            for t, ct, a in parts
+        )
+        self._write_summary(summary, step)
 
 
 class LocalWriter:
@@ -233,6 +354,76 @@ class _WandbLogger:
         self.run.log({k: float(v) for k, v in metrics.items()}, step=step)
 
 
+class _MlflowLogger:
+    """mlflow scalar sink (reference configs/logger/mlflow.yaml)."""
+
+    def __init__(self, cfg: Dict[str, Any]):
+        import mlflow
+
+        self._m = mlflow
+        uri = cfg.get("tracking_uri")
+        if uri:
+            mlflow.set_tracking_uri(uri)
+        if cfg.get("experiment_name"):
+            mlflow.set_experiment(cfg["experiment_name"])
+        self.run = mlflow.start_run(run_name=cfg.get("run_name"))
+
+    def log_metrics(self, metrics: Dict[str, Any], step: int) -> None:
+        self._m.log_metrics({k: float(v) for k, v in metrics.items()}, step=step)
+
+
+class _NeptuneLogger:
+    """neptune scalar sink (reference configs/logger/neptune.yaml)."""
+
+    def __init__(self, cfg: Dict[str, Any]):
+        import neptune
+
+        self.run = neptune.init_run(
+            project=cfg.get("project"), name=cfg.get("name"),
+            mode=cfg.get("mode", "async"),
+        )
+
+    def log_metrics(self, metrics: Dict[str, Any], step: int) -> None:
+        for k, v in metrics.items():
+            self.run[k].append(float(v), step=step)
+
+
+class _CometLogger:
+    """comet_ml scalar sink (reference configs/logger/comet.yaml)."""
+
+    def __init__(self, cfg: Dict[str, Any]):
+        import comet_ml
+
+        self.exp = comet_ml.Experiment(
+            project_name=cfg.get("project_name"),
+            experiment_key=cfg.get("experiment_key"),
+        )
+
+    def log_metrics(self, metrics: Dict[str, Any], step: int) -> None:
+        self.exp.log_metrics({k: float(v) for k, v in metrics.items()}, step=step)
+
+
+class _AimLogger:
+    """aim scalar sink (reference configs/logger/aim.yaml)."""
+
+    def __init__(self, cfg: Dict[str, Any]):
+        import aim
+
+        self.run = aim.Run(repo=cfg.get("repo"), experiment=cfg.get("experiment"))
+
+    def log_metrics(self, metrics: Dict[str, Any], step: int) -> None:
+        for k, v in metrics.items():
+            self.run.track(float(v), name=k, step=step)
+
+
+_OPTIONAL_BACKENDS = {
+    "mlflow": _MlflowLogger,
+    "neptune": _NeptuneLogger,
+    "comet": _CometLogger,
+    "aim": _AimLogger,
+}
+
+
 class MetricsLogger:
     """Bundles the configured scalar loggers + the local artifact sink
     (the reference's logger list with a .local attribute)."""
@@ -254,6 +445,17 @@ class MetricsLogger:
             except ImportError:
                 get_logger().warning("wandb not installed; falling back to CSV")
                 self.scalar_loggers.append(CSVLogger(save_dir))
+        # optional-import external backends (reference configs/logger/
+        # {mlflow,neptune,comet,aim}.yaml); missing installs degrade to a
+        # warning rather than a crash so shared configs stay portable
+        for key, cls in _OPTIONAL_BACKENDS.items():
+            if key in cfg:
+                try:
+                    self.scalar_loggers.append(cls(cfg[key] or {}))
+                except ImportError:
+                    get_logger().warning(
+                        f"logger backend '{key}' requested but not installed; skipping"
+                    )
         if not self.scalar_loggers:
             self.scalar_loggers.append(CSVLogger(save_dir))
         local_cfg = cfg.get("local", {})
@@ -261,16 +463,46 @@ class MetricsLogger:
             local_cfg.get("save_dir", save_dir), mute=local_cfg.get("mute_local", False)
         )
 
+    @staticmethod
+    def _rank0() -> bool:
+        try:
+            import jax
+
+            return jax.process_index() == 0
+        except Exception:
+            return True
+
     def log_metrics(self, metrics: Dict[str, Any], step: int) -> None:
         # rank-0-only file writes under the multi-process runtime (the
         # metrics are jit-global and identical on every process; N
         # processes appending the same rows would duplicate them)
-        try:
-            import jax
-
-            if jax.process_index() != 0:
-                return
-        except Exception:
-            pass
+        if not self._rank0():
+            return
         for lg in self.scalar_loggers:
             lg.log_metrics(metrics, step)
+
+    def log_image(self, tag: str, image, step: int = 0) -> None:
+        """Fan an image out to every backend that can take one (currently
+        the tfevents writer) plus the local PNG sink."""
+        if not self._rank0():
+            return
+        for lg in self.scalar_loggers:
+            if hasattr(lg, "log_image"):
+                lg.log_image(tag, np.asarray(image), step)
+        self.local.log_image(image, tag)
+
+    def log_mesh(self, tag: str, mesh, step: int = 0) -> None:
+        """Fan a mesh out: tfevents mesh-plugin summaries (the reference
+        TensorBoardMeshLogger surface, tb_mesh_logger.py:20-44) + the
+        local .ply sink. `mesh` is a utils.mesh.Mesh (vertices/faces,
+        optional vertex colors)."""
+        if not self._rank0():
+            return
+        verts = np.asarray(mesh.vertices, np.float32)
+        faces = np.asarray(mesh.faces, np.int32) if getattr(mesh, "faces", None) is not None else None
+        colors = getattr(mesh, "vertex_colors", None)
+        colors = np.asarray(colors, np.uint8) if colors is not None else None
+        for lg in self.scalar_loggers:
+            if hasattr(lg, "log_mesh"):
+                lg.log_mesh(tag, verts, faces, colors, step)
+        self.local.log_mesh(mesh, tag)

@@ -247,23 +247,28 @@ class Trainer:
                 pred, trgt = task.reconstruct(state, last_batch, b_idx=0)
                 self.logger.local.log_tsdf(pred, f"{mode}_tsdf/{mode}_pred_tsdf")
                 mesh_pred = pred.get_mesh()
-                self.logger.local.log_mesh(mesh_pred, f"{mode}_mesh/{mode}_pred_mesh")
+                # fan meshes/images to every capable backend (tfevents mesh
+                # plugin + local .ply — the TensorBoardMeshLogger surface)
+                self.logger.log_mesh(f"{mode}_mesh/{mode}_pred_mesh", mesh_pred, step=epoch)
                 if trgt is not None:  # GT-less scenes log prediction only
                     l1 = float(np.abs(np.asarray(pred.tsdf_vol) - np.asarray(trgt.tsdf_vol)).mean())
                     out[f"{mode}_recon_tsdf_l1"] = l1
                     self.logger.local.log_tsdf(trgt, f"{mode}_tsdf/{mode}_trgt_tsdf")
                     mesh_trgt = trgt.get_mesh()
-                    self.logger.local.log_mesh(mesh_trgt, f"{mode}_mesh/{mode}_trgt_mesh")
-                    self._log_rendered_images(mesh_pred, mesh_trgt, last_batch, mode)
+                    self.logger.log_mesh(f"{mode}_mesh/{mode}_trgt_mesh", mesh_trgt, step=epoch)
+                    self._log_rendered_images(mesh_pred, mesh_trgt, last_batch, mode,
+                                              step=epoch)
             except Exception as e:  # reconstruction is best-effort logging
                 self.log.warning(f"reconstruction logging failed: {e}")
         return out
 
     def _log_rendered_images(self, mesh_pred, mesh_trgt, batch, mode: str,
-                             b_idx: int = 0, num_logged_frames: int = 2):
+                             b_idx: int = 0, num_logged_frames: int = 2,
+                             step: int = 0):
         """Shaded target|prediction renders from the input views + an
         auto-framed overview (reference log_rendered_images,
-        model.py:718-749), via the native rasterizer."""
+        model.py:718-749), via the native rasterizer. Images fan out to
+        the tfevents writer AND the local PNG sink."""
         from ..utils.visuals import compute_camera_pose, render_comparison
 
         image = batch["image"]  # (B, T, 3, H, W)
@@ -271,14 +276,16 @@ class Trainer:
         intr = np.asarray(batch["intrinsics"][b_idx])
         poses = np.asarray(batch["pose"][b_idx])
         overview = compute_camera_pose(mesh_trgt, intr[0], W, H)
-        self.logger.local.log_image(
-            render_comparison(mesh_pred, mesh_trgt, intr[0], overview, H, W),
+        self.logger.log_image(
             f"{mode}_render/overview",
+            render_comparison(mesh_pred, mesh_trgt, intr[0], overview, H, W),
+            step=step,
         )
         for i in range(min(num_logged_frames, poses.shape[0])):
-            self.logger.local.log_image(
-                render_comparison(mesh_pred, mesh_trgt, intr[i], poses[i], H, W),
+            self.logger.log_image(
                 f"{mode}_render/frame{i}",
+                render_comparison(mesh_pred, mesh_trgt, intr[i], poses[i], H, W),
+                step=step,
             )
 
     def test(self, task, state: TrainState, datamodule, key=None) -> Dict[str, float]:

@@ -25,6 +25,30 @@ def read_image(path: str) -> np.ndarray:
     return np.asarray(Image.open(path))
 
 
+def encode_png(array: np.ndarray) -> bytes:
+    """PNG-encode (H, W[, C]) uint8 to bytes (TensorBoard image summaries)."""
+    try:
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(np.asarray(array).squeeze()).save(buf, format="PNG")
+        return buf.getvalue()
+    except Exception:
+        import os
+        import tempfile
+
+        fd, tmp = tempfile.mkstemp(suffix=".png")
+        os.close(fd)
+        try:
+            _write_png_raw(tmp, np.asarray(array))
+            with open(tmp, "rb") as f:
+                return f.read()
+        finally:
+            os.unlink(tmp)
+
+
 def _write_png_raw(path: str, array: np.ndarray) -> None:
     """Dependency-free PNG writer (8-bit gray/RGB/RGBA, 16-bit gray)."""
     arr = np.asarray(array)

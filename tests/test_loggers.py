@@ -130,3 +130,101 @@ def test_metrics_logger_backend_selection(tmp_path):
     # wandb absent in this env -> warning + CSV fallback, no crash
     lg2 = MetricsLogger(str(tmp_path), {"wandb": {"project": "x"}})
     lg2.log_metrics({"a": 2.0}, step=1)
+
+
+def test_tfevents_image_summary(tmp_path):
+    """Byte-level: log_image writes a Summary.Value{tag, image{h, w,
+    colorspace, encoded PNG}} event."""
+    tb = TensorBoardLogger(str(tmp_path / "img"))
+    img = (np.arange(6 * 8 * 3, dtype=np.uint8).reshape(6, 8, 3))
+    tb.log_image("val_render/overview", img, step=3)
+
+    rec = _read_records(tb.path)[-1]
+    ev = {f: v for f, _, v in _decode_fields(rec)}
+    assert ev[2] == 3  # step
+    value = _decode_fields(_decode_fields(ev[5])[0][2])
+    by = {f: v for f, _, v in value}
+    assert by[1] == b"val_render/overview"
+    image = {f: v for f, _, v in _decode_fields(by[4])}
+    assert image[1] == 6 and image[2] == 8 and image[3] == 3
+    assert image[4][:8] == b"\x89PNG\r\n\x1a\n"  # a real PNG payload
+    # the PNG decodes back to the exact pixels
+    from PIL import Image
+    import io
+
+    back = np.asarray(Image.open(io.BytesIO(image[4])))
+    np.testing.assert_array_equal(back, img)
+
+
+def test_tfevents_mesh_summary(tmp_path):
+    """Byte-level: log_mesh writes VERTEX/FACE/COLOR tensor summaries with
+    mesh-plugin metadata (the reference TensorBoardMeshLogger surface,
+    tb_mesh_logger.py:20-44)."""
+    tb = TensorBoardLogger(str(tmp_path / "mesh"))
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    faces = np.array([[0, 1, 2]], np.int32)
+    colors = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    tb.log_mesh("val_mesh/pred", verts, faces, colors, step=2)
+
+    rec = _read_records(tb.path)[-1]
+    ev = {f: v for f, _, v in _decode_fields(rec)}
+    values = [_decode_fields(v) for f, _, v in _decode_fields(ev[5]) if f == 1]
+    assert len(values) == 3  # VERTEX + FACE + COLOR components
+    seen = {}
+    for value in values:
+        by = {f: v for f, _, v in value}
+        tag = by[1].decode()
+        # SummaryMetadata.plugin_data.plugin_name == 'mesh'
+        md = {f: v for f, _, v in _decode_fields(by[9])}
+        plugin = {f: v for f, _, v in _decode_fields(md[1])}
+        assert plugin[1] == b"mesh"
+        # MeshPluginData: name (2), content_type (3), components (4)
+        pd = {}
+        for f, _, v in _decode_fields(plugin[2]):
+            pd.setdefault(f, []).append(v)
+        assert pd[2] == [b"val_mesh/pred"]
+        # TensorProto: dtype (1), shape (2), content (4)
+        tp = {}
+        for f, _, v in _decode_fields(by[8]):
+            tp.setdefault(f, []).append(v)
+        seen[tag] = (pd[3][0], tp[1][0], b"".join(tp[4]))
+    ct_v, dt_v, content_v = seen["val_mesh/pred_VERTEX"]
+    assert (ct_v, dt_v) == (1, 1)  # VERTEX, DT_FLOAT
+    np.testing.assert_array_equal(
+        np.frombuffer(content_v, np.float32).reshape(1, 3, 3), verts[None])
+    ct_f, dt_f, content_f = seen["val_mesh/pred_FACE"]
+    assert (ct_f, dt_f) == (2, 3)  # FACE, DT_INT32
+    np.testing.assert_array_equal(
+        np.frombuffer(content_f, np.int32).reshape(1, 1, 3), faces[None])
+    ct_c, dt_c, _ = seen["val_mesh/pred_COLOR"]
+    assert (ct_c, dt_c) == (3, 4)  # COLOR, DT_UINT8
+
+
+def test_metrics_logger_mesh_image_fanout(tmp_path):
+    from gennerf_tpu.utils.mesh import Mesh
+
+    lg = MetricsLogger(str(tmp_path), {"tensorboard": {"save_dir": str(tmp_path)},
+                                       "local": {"save_dir": str(tmp_path)}})
+    mesh = Mesh(np.array([[0., 0, 0], [1, 0, 0], [0, 1, 0]]),
+                np.array([[0, 1, 2]]))
+    lg.log_mesh("val_mesh/pred", mesh, step=1)
+    lg.log_image("val_render/overview", np.zeros((4, 4, 3), np.uint8), step=1)
+    # both sinks got both artifact kinds
+    assert os.path.exists(os.path.join(tmp_path, "local", "val_mesh", "pred.ply"))
+    assert os.path.exists(os.path.join(tmp_path, "local", "val_render", "overview.png"))
+    tb = [l for l in lg.scalar_loggers if hasattr(l, "log_mesh")][0]
+    recs = _read_records(tb.path)
+    assert len(recs) == 3  # header + mesh event + image event
+
+
+def test_optional_backends_gated(tmp_path):
+    """mlflow/neptune/comet/aim configs degrade to a warning when the lib
+    is absent (reference configs/logger parity without forced installs)."""
+    lg = MetricsLogger(str(tmp_path), {
+        "mlflow": {"tracking_uri": str(tmp_path)},
+        "neptune": {}, "comet": {}, "aim": {},
+        "csv": {"save_dir": str(tmp_path)},
+    })
+    # none of the four is installed in this image -> only CSV remains
+    assert len(lg.scalar_loggers) >= 1
+    lg.log_metrics({"a": 1.0}, step=1)
