@@ -139,7 +139,10 @@ class ResnetFC(nn.Module):
 
         out = nn.Dense(self.d_out, kernel_init=he_normal(), bias_init=zeros_init,
                        dtype=self.dtype, name="lin_out")(actvn(x))
-        out = out.astype(jnp.float32)
+        # outputs are AT LEAST f32 (bf16 compute returns f32 for the loss
+        # math) without downcasting f64 inputs (the trained-parity harness
+        # runs the whole model in f64)
+        out = out.astype(jnp.promote_types(jnp.float32, zx.dtype))
         if ret_last_feat:
             return jnp.concatenate([out, x], axis=-1)
         return out

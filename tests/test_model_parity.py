@@ -52,15 +52,16 @@ def t_scatter_mean(src, index, num_cells):
     """src (B, C, N), index (B, 1, N) -> (B, C, num_cells); empty cells 0."""
     B, C, N = src.shape
     idx = index.expand(-1, C, -1)
-    total = torch.zeros(B, C, num_cells).scatter_add_(2, idx, src)
-    count = torch.zeros(B, C, num_cells).scatter_add_(2, idx, torch.ones_like(src))
+    total = torch.zeros(B, C, num_cells, dtype=src.dtype).scatter_add_(2, idx, src)
+    count = torch.zeros(B, C, num_cells, dtype=src.dtype).scatter_add_(
+        2, idx, torch.ones_like(src))
     return total / count.clamp(min=1.0)
 
 
 def t_scatter_max(src, index, num_cells):
     B, C, N = src.shape
     idx = index.expand(-1, C, -1)
-    out = torch.zeros(B, C, num_cells)
+    out = torch.zeros(B, C, num_cells, dtype=src.dtype)
     return out.scatter_reduce(2, idx, src, reduce="amax", include_self=False)
 
 
