@@ -47,11 +47,18 @@ def render_scene(
     sphere_radius: float = 0.5,
     floor_z: float = 0.0,
     max_depth: float = 10.0,
+    primitives=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Analytic z-depth + shaded RGB of a sphere over a floor plane.
+    """Analytic z-depth + shaded RGB of primitives over a floor plane.
 
     Rays are parameterized by camera z-depth t: X(t) = o + t * (R @ d_cam)
     with d_cam = ((u-cx)/fx, (v-cy)/fy, 1), so intersection t IS the depth.
+
+    `primitives`: optional list of {"type": "sphere", "center", "radius"} |
+    {"type": "box", "min", "max"} dicts (closest hit wins); when None the
+    legacy single sphere (sphere_center/sphere_radius) renders — every
+    existing caller is unchanged. Boxes are the second geometry family for
+    held-out generalization beyond spheres (VERDICT round-2 next #5).
 
     Returns:
         depth (H, W) float32 meters (0 = no hit / beyond max_depth),
@@ -65,24 +72,70 @@ def render_scene(
     o = pose[:3, 3].astype(np.float64)
     d = d_cam @ R.T  # (H, W, 3)
 
-    # sphere
-    c = np.asarray(sphere_center, np.float64)
-    oc = o - c
-    a = (d**2).sum(-1)
-    b = (d * oc).sum(-1)
-    disc = b**2 - a * ((oc**2).sum() - sphere_radius**2)
-    hit_s = disc > 0
-    sqrt_disc = np.sqrt(np.where(hit_s, disc, 0.0))
-    t_s = np.where(hit_s, (-b - sqrt_disc) / a, np.inf)
-    t_s = np.where(t_s > 1e-6, t_s, np.inf)
+    if primitives is None:
+        primitives = [
+            {"type": "sphere", "center": sphere_center, "radius": sphere_radius}
+        ]
+
+    def hit_sphere(center, radius):
+        c = np.asarray(center, np.float64)
+        oc = o - c
+        a = (d**2).sum(-1)
+        b = (d * oc).sum(-1)
+        disc = b**2 - a * ((oc**2).sum() - radius**2)
+        hit = disc > 0
+        sqrt_disc = np.sqrt(np.where(hit, disc, 0.0))
+        t = np.where(hit, (-b - sqrt_disc) / a, np.inf)
+        t = np.where(t > 1e-6, t, np.inf)
+        with np.errstate(invalid="ignore"):
+            pts = o + t[..., None] * d
+            n = pts - c
+            n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+        return t, n
+
+    def hit_box(bmin, bmax):
+        bmin = np.asarray(bmin, np.float64)
+        bmax = np.asarray(bmax, np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            inv = 1.0 / d  # (H, W, 3); +-inf on axis-parallel rays is fine
+            t0 = (bmin - o) * inv
+            t1 = (bmax - o) * inv
+        t_near_ax = np.minimum(t0, t1)
+        t_far_ax = np.maximum(t0, t1)
+        t_near = t_near_ax.max(-1)
+        t_far = t_far_ax.min(-1)
+        hit = (t_far > np.maximum(t_near, 1e-6)) & (t_near > 1e-6)
+        t = np.where(hit, t_near, np.inf)
+        # normal: the axis achieving t_near, sign opposing the ray
+        axis = np.argmax(t_near_ax, axis=-1)
+        n = np.zeros(d.shape)
+        for a_i in range(3):
+            sel = axis == a_i
+            n[sel, a_i] = -np.sign(d[sel, a_i])
+        return t, n
+
+    t_best = np.full((H, W), np.inf)
+    n_best = np.zeros((H, W, 3))
+    kind = np.full((H, W), -1, np.int64)  # primitive index; -1 = none
+    for pi, prim in enumerate(primitives):
+        if prim["type"] == "sphere":
+            t_p, n_p = hit_sphere(prim["center"], prim["radius"])
+        elif prim["type"] == "box":
+            t_p, n_p = hit_box(prim["min"], prim["max"])
+        else:
+            raise ValueError(prim["type"])
+        closer = t_p < t_best
+        t_best = np.where(closer, t_p, t_best)
+        n_best = np.where(closer[..., None], n_p, n_best)
+        kind = np.where(closer, pi, kind)
 
     # floor
     dz = d[..., 2]
     t_f = np.where(np.abs(dz) > 1e-9, (floor_z - o[2]) / dz, np.inf)
     t_f = np.where(t_f > 1e-6, t_f, np.inf)
 
-    t = np.minimum(t_s, t_f)
-    sphere_closer = t_s <= t_f
+    t = np.minimum(t_best, t_f)
+    prim_closer = t_best <= t_f
     valid = np.isfinite(t) & (t <= max_depth)
     depth = np.where(valid, t, 0.0).astype(np.float32)
 
@@ -91,16 +144,39 @@ def render_scene(
         pts = o + np.where(np.isfinite(t), t, 0.0)[..., None] * d
         light = np.array([0.4, 0.3, 0.85])
         light /= np.linalg.norm(light)
-        n_sphere = pts - c
-        n_sphere /= np.maximum(np.linalg.norm(n_sphere, axis=-1, keepdims=True), 1e-9)
-        lambert_s = np.clip((n_sphere * light).sum(-1), 0.15, 1.0)
+        lambert = np.clip((n_best * light).sum(-1), 0.15, 1.0)
         checker = ((np.floor(pts[..., 0] * 2) + np.floor(pts[..., 1] * 2)) % 2).astype(np.float64)
+    # per-primitive hue (cycled) so frames carry appearance signal
+    hues = np.array([[0.9, 0.3, 0.2], [0.2, 0.7, 0.9], [0.8, 0.8, 0.2],
+                     [0.5, 0.3, 0.8]])
     color = np.zeros((H, W, 3), np.float64)
-    color[..., 0] = np.where(sphere_closer, 0.9 * lambert_s, 0.3 + 0.4 * checker)
-    color[..., 1] = np.where(sphere_closer, 0.3 * lambert_s, 0.5 + 0.3 * checker)
-    color[..., 2] = np.where(sphere_closer, 0.2 * lambert_s, 0.4 + 0.2 * checker)
+    prim_rgb = hues[np.clip(kind, 0, len(hues) - 1) % len(hues)] * lambert[..., None]
+    floor_rgb = np.stack([0.3 + 0.4 * checker, 0.5 + 0.3 * checker,
+                          0.4 + 0.2 * checker], -1)
+    color = np.where(prim_closer[..., None], prim_rgb, floor_rgb)
     color = np.where(valid[..., None], color, 0.0)
     return depth, (color * 255).astype(np.uint8)
+
+
+def random_primitives(rng, family: str = "spheres", n_min: int = 1, n_max: int = 3):
+    """Random scene content for a geometry family ('spheres' | 'boxes' |
+    'mixed'): primitives resting on/near the floor inside the ~3.2 m
+    volume the generator fuses."""
+    prims = []
+    n = int(rng.integers(n_min, n_max + 1))
+    for i in range(n):
+        cx, cy = rng.uniform(-0.9, 0.9, 2)
+        if family == "spheres" or (family == "mixed" and i % 2 == 0):
+            r = float(rng.uniform(0.2, 0.55))
+            prims.append({"type": "sphere",
+                          "center": (float(cx), float(cy), r + float(rng.uniform(0.0, 0.15))),
+                          "radius": r})
+        else:
+            sx, sy, sz = rng.uniform(0.25, 0.9, 3)
+            prims.append({"type": "box",
+                          "min": (float(cx - sx / 2), float(cy - sy / 2), 0.0),
+                          "max": (float(cx + sx / 2), float(cy + sy / 2), float(sz))})
+    return prims
 
 
 def generate_scene(
@@ -116,6 +192,7 @@ def generate_scene(
     sphere_center=(0.0, 0.0, 0.5),
     sphere_radius: float = 0.5,
     seed: int = 0,
+    primitives=None,
 ) -> str:
     """Create <out_dir>/scans/<scene>/{info.json,color/,depth/,tsdf_XX.npz}.
 
@@ -140,7 +217,11 @@ def generate_scene(
 
     frames = []
     depths, projections, colors = [], [], []
-    target = np.asarray(sphere_center)
+    target = (
+        np.asarray(sphere_center)
+        if primitives is None
+        else np.array([0.0, 0.0, 0.4])
+    )
     for i in range(num_frames):
         ang = 2 * np.pi * i / num_frames + 0.01 * rng.standard_normal()
         eye = np.array([
@@ -149,7 +230,8 @@ def generate_scene(
             camera_height + 0.05 * rng.standard_normal(),
         ])
         pose = look_at_pose(eye, target)
-        depth, color = render_scene(H, W, K, pose, sphere_center, sphere_radius)
+        depth, color = render_scene(H, W, K, pose, sphere_center, sphere_radius,
+                                    primitives=primitives)
 
         img_path = os.path.join(color_dir, f"{i}.png")
         dep_path = os.path.join(depth_dir, f"{i}.png")

@@ -113,15 +113,22 @@ class SurfaceRenderer:
 
     def __init__(self, decode_fn, near: float = 0.05, far: float = 4.0,
                  n_steps: int = 64, n_secant_steps: int = 8,
-                 n_max_network_queries: int = 262144):
+                 n_max_network_queries: int = 262144, tsdf_fn=None):
+        """`tsdf_fn` optionally overrides the march/secant field lookups
+        with a faster forward-only evaluator ((B, N, 3) -> (B, N); e.g.
+        train.predict.make_point_tsdf_fn's fused Pallas path). The final
+        per-ray feature lookup always uses `decode_fn`."""
         self.decode_fn = decode_fn
         self.near = near
         self.far = far
         self.n_steps = n_steps
         self.n_secant_steps = n_secant_steps
         self.n_max_network_queries = n_max_network_queries
+        self._tsdf_fast = tsdf_fn
 
     def _tsdf(self, pts: jnp.ndarray) -> jnp.ndarray:
+        if self._tsdf_fast is not None:
+            return self._tsdf_fast(pts)
         return self.decode_fn(pts)["tsdf"][..., 0]
 
     def render_pixels(self, h_idxs, w_idxs, intrinsics, pose,

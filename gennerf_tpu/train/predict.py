@@ -280,6 +280,81 @@ def decode_grid_separable_xla(
     )
 
 
+def make_point_tsdf_fn(
+    model: GenNerf,
+    variables,
+    repr_: SceneRepr,
+    origin,
+    tile: int = 2048,
+    interpret: bool = False,
+):
+    """Fast FORWARD-ONLY TSDF evaluation at arbitrary points: bf16 triplane
+    gathers + positional encoding in XLA feeding the fused Pallas
+    ResnetFC/TSDF kernel (one launch per call, no lax.map around it).
+
+    This is the arbitrary-point analog of the separable grid tiers
+    (VERDICT round-2 missing #4): ray-marched renderer samples and other
+    non-grid query sets have no separable structure to exploit, but the
+    MLP — the FLOP majority — still runs as pure H x H residual matmuls in
+    the kernel. Workloads: reference renderer.py:172 marched decodes,
+    model.py:769-style arbitrary chunks.
+
+    Returns tsdf_fn(pts (B, N, 3)) -> (B, N) float32. No gradient support
+    (the kernel has no VJP) — training paths keep the XLA decode. Raises
+    NotImplementedError when the config/representation is unsupported
+    (callers fall back to the plain decode path).
+    """
+    from ..models.positional_encoding import positional_encoding
+    from ..ops.pallas.fused_decoder import (
+        extract_resnetfc_weights,
+        fused_resnetfc_tsdf,
+        supports_fused_decode,
+    )
+
+    cfg = model.cfg
+    if not interpret and jax.devices()[0].platform != "tpu":
+        raise NotImplementedError("fused point decode is TPU-only")
+    if not supports_fused_decode(cfg):
+        raise NotImplementedError("unsupported decoder config")
+    planes = repr_.planes
+    if repr_.volume is not None or planes is None or set(planes) != {"xz", "xy", "yz"}:
+        raise NotImplementedError("fused point decode supports triplane-only scenes")
+    weights = extract_resnetfc_weights(
+        variables["params"]["mlp"], variables["params"]["head_geo"],
+        cfg.mlp.n_blocks, cfg.mlp.d_out_geo,
+    )
+    if abs(weights["b_head"]) > 0:
+        raise NotImplementedError("fused decode assumes zero head bias")
+    if weights["dims"][0] != planes["xz"].shape[1]:
+        raise NotImplementedError("decoder latent != triplane channels")
+    # bf16 planes: half the gather traffic; the features feed a bf16 MLP
+    # anyway (identical policy to decode_dense's model.dtype cast)
+    repr_bf16 = SceneRepr(
+        volume=None, valid=None,
+        planes={k: v.astype(jnp.bfloat16) for k, v in planes.items()},
+    )
+    origin_a = jnp.asarray(origin, jnp.float32)
+    n_blocks = cfg.mlp.n_blocks
+    code_cfg = cfg.code
+
+    def tsdf_fn(pts: jnp.ndarray) -> jnp.ndarray:
+        B, N, _ = pts.shape
+        feat = model.apply(
+            variables, repr_bf16, pts, origin_a, method=GenNerf.map_features
+        )
+        code = positional_encoding(
+            pts.reshape(-1, 3), code_cfg.num_freqs, code_cfg.freq_factor,
+            code_cfg.include_input,
+        )
+        vals = fused_resnetfc_tsdf(
+            feat.reshape(B * N, -1), code, weights, n_blocks,
+            tile=tile, interpret=interpret,
+        )
+        return vals.reshape(B, N)
+
+    return tsdf_fn
+
+
 def decode_dense_fused(
     model: GenNerf,
     variables,
