@@ -44,6 +44,24 @@ def pixels_to_rays(h_idxs, w_idxs, intrinsics, pose):
     return origins, dirs
 
 
+def _first_crossing(vals, ts):
+    """First +->- crossing over per-ray sample rows.
+
+    vals (B, R, S); ts (S,) shared or (B, R, S) per-ray. Returns
+    (t_lo, t_hi, f_lo, f_hi, any_cross)."""
+    sign_change = (vals[..., :-1] > 0) & (vals[..., 1:] <= 0)  # (B, R, S-1)
+    any_cross = sign_change.any(axis=-1)
+    first = jnp.argmax(sign_change, axis=-1)  # index of first crossing
+    if ts.ndim == 1:
+        t_lo, t_hi = ts[first], ts[first + 1]
+    else:
+        t_lo = jnp.take_along_axis(ts, first[..., None], axis=-1)[..., 0]
+        t_hi = jnp.take_along_axis(ts, first[..., None] + 1, axis=-1)[..., 0]
+    f_lo = jnp.take_along_axis(vals, first[..., None], axis=-1)[..., 0]
+    f_hi = jnp.take_along_axis(vals, first[..., None] + 1, axis=-1)[..., 0]
+    return t_lo, t_hi, f_lo, f_hi, any_cross
+
+
 def ray_march_tsdf(
     tsdf_fn: Callable[[jnp.ndarray], jnp.ndarray],
     origins: jnp.ndarray,
@@ -52,11 +70,19 @@ def ray_march_tsdf(
     far: float = 4.0,
     n_steps: int = 64,
     n_secant_steps: int = 8,
+    n_fine_steps: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Find the first +->- TSDF crossing along each ray.
 
     The reference marches occupancy (UNISURF); for a TSDF field the surface
     is the first positive-to-negative zero crossing (outside -> inside).
+
+    With `n_fine_steps > 0` the march is hierarchical: a coarse pass over
+    `n_steps` samples brackets the crossing, then `n_fine_steps` samples
+    refine INSIDE the bracket before the secant iterations. At equal
+    accuracy this cuts field evaluations ~2x (e.g. 24+8 hierarchical
+    brackets at (far-near)/(23*7) vs 64 uniform at (far-near)/63) — the
+    decode is the renderer's cost (SURVEY hot loop #1).
 
     Args:
         tsdf_fn: (B, N, 3) -> (B, N) field values.
@@ -70,14 +96,20 @@ def ray_march_tsdf(
     ts = jnp.linspace(near, far, n_steps)  # (S,)
     pts = origins[:, :, None, :] + dirs[:, :, None, :] * ts[None, None, :, None]
     vals = tsdf_fn(pts.reshape(B, R * n_steps, 3)).reshape(B, R, n_steps)
+    t_lo, t_hi, f_lo, f_hi, any_cross = _first_crossing(vals, ts)
 
-    sign_change = (vals[..., :-1] > 0) & (vals[..., 1:] <= 0)  # (B, R, S-1)
-    any_cross = sign_change.any(axis=-1)
-    first = jnp.argmax(sign_change, axis=-1)  # index of first crossing
-    t_lo = ts[first]
-    t_hi = ts[first + 1]
-    f_lo = jnp.take_along_axis(vals, first[..., None], axis=-1)[..., 0]
-    f_hi = jnp.take_along_axis(vals, first[..., None] + 1, axis=-1)[..., 0]
+    if n_fine_steps > 0:
+        S = n_fine_steps
+        u = jnp.linspace(0.0, 1.0, S)  # includes the bracket endpoints
+        ts_f = t_lo[..., None] + (t_hi - t_lo)[..., None] * u  # (B, R, S)
+        pts_f = origins[:, :, None, :] + dirs[:, :, None, :] * ts_f[..., None]
+        vals_f = tsdf_fn(pts_f.reshape(B, R * S, 3)).reshape(B, R, S)
+        ft_lo, ft_hi, ff_lo, ff_hi, fine_cross = _first_crossing(vals_f, ts_f)
+        # a continuous field must re-cross inside the bracket; guard anyway
+        t_lo = jnp.where(fine_cross, ft_lo, t_lo)
+        t_hi = jnp.where(fine_cross, ft_hi, t_hi)
+        f_lo = jnp.where(fine_cross, ff_lo, f_lo)
+        f_hi = jnp.where(fine_cross, ff_hi, f_hi)
 
     # secant iterations (reference renderer.py:325; fixed-count fori_loop)
     def body(_, carry):
@@ -112,12 +144,21 @@ class SurfaceRenderer:
     """
 
     def __init__(self, decode_fn, near: float = 0.05, far: float = 4.0,
-                 n_steps: int = 64, n_secant_steps: int = 8,
-                 n_max_network_queries: int = 262144, tsdf_fn=None):
-        """`tsdf_fn` optionally overrides the march/secant field lookups
-        with a faster forward-only evaluator ((B, N, 3) -> (B, N); e.g.
-        train.predict.make_point_tsdf_fn's fused Pallas path). The final
-        per-ray feature lookup always uses `decode_fn`."""
+                 n_steps: int = 16, n_secant_steps: int = 8,
+                 n_max_network_queries: int = 786432, tsdf_fn=None,
+                 n_fine_steps: int = 8, eval_chunk: int = 32768):
+        """Defaults are the round-3 TPU-tuned fast recipe (BENCH.md): a
+        16-sample coarse march + 8-sample fine bracket refinement + secant,
+        with field lookups internally chunked to `eval_chunk` points (an
+        unchunked MLP over the marched megabatch thrashes HBM with
+        full-size activations — measured 24.4M vs 13.8M pts/s). Equal
+        accuracy to the old 64-step uniform march at 2.9x the rays/s
+        (0.596M vs 0.203M on v5e-1). Set n_fine_steps=0 for the uniform
+        march.
+
+        `tsdf_fn` optionally overrides the march/secant field lookups
+        with a custom forward-only evaluator ((B, N, 3) -> (B, N)). The
+        final per-ray feature lookup always uses `decode_fn`."""
         self.decode_fn = decode_fn
         self.near = near
         self.far = far
@@ -125,11 +166,21 @@ class SurfaceRenderer:
         self.n_secant_steps = n_secant_steps
         self.n_max_network_queries = n_max_network_queries
         self._tsdf_fast = tsdf_fn
+        self.n_fine_steps = n_fine_steps
+        self.eval_chunk = eval_chunk
 
     def _tsdf(self, pts: jnp.ndarray) -> jnp.ndarray:
         if self._tsdf_fast is not None:
             return self._tsdf_fast(pts)
-        return self.decode_fn(pts)["tsdf"][..., 0]
+        B, N, _ = pts.shape
+        c = self.eval_chunk
+        if c <= 0 or N <= c:
+            return self.decode_fn(pts)["tsdf"][..., 0]
+        pad = (-N) % c
+        chunks = jnp.pad(pts, ((0, 0), (0, pad), (0, 0))).reshape(B, -1, c, 3)
+        chunks = chunks.transpose(1, 0, 2, 3)  # (k, B, c, 3)
+        vals = jax.lax.map(lambda p: self.decode_fn(p)["tsdf"][..., 0], chunks)
+        return vals.transpose(1, 0, 2).reshape(B, -1)[:, :N]
 
     def render_pixels(self, h_idxs, w_idxs, intrinsics, pose,
                       feature_key: str = "feat_sem") -> SurfaceRender:
@@ -138,7 +189,7 @@ class SurfaceRenderer:
         )
         depth, mask = ray_march_tsdf(
             self._tsdf, origins, dirs, self.near, self.far,
-            self.n_steps, self.n_secant_steps,
+            self.n_steps, self.n_secant_steps, self.n_fine_steps,
         )
         points = origins + dirs * depth[..., None]
         out = self.decode_fn(points)

@@ -280,6 +280,74 @@ def decode_grid_separable_xla(
     )
 
 
+def _triplane_gather_setup(model: GenNerf, planes: dict):
+    """Build-time state for the fast channels-last triplane gather: the 3
+    planes flattened row-major into ONE (B, 3*r*r, C) bf16 table plus the
+    static coordinate-mapping constants. The per-call path then costs one
+    take_along_axis of all 12 texels and a weighted sum — zero transposes
+    (the generic grid_sample_2d relayouts (B,N,C)->(B,C,N)->(B,N,C) per
+    corner, which dominates the arbitrary-point feature stage)."""
+    cfg = model.cfg
+    p = cfg.encoder.pointnet
+    reso = planes["xz"].shape[-1]
+    B, C = planes["xz"].shape[0], planes["xz"].shape[1]
+    # row index = x1 * r + x0 (sample_plane_feature layout contract)
+    flat = jnp.concatenate([
+        planes[k].transpose(0, 2, 3, 1).reshape(B, reso * reso, C)
+        for k in ("xz", "xy", "yz")
+    ], axis=1).astype(jnp.bfloat16)  # (B, 3*r*r, C)
+    center = scale = None
+    if p.normalize_coords:
+        extent = jnp.asarray(cfg.voxel_dim_train, jnp.float32) * cfg.voxel_size
+        center, scale = extent / 2.0, jnp.max(extent)
+    return flat, reso, float(p.padding), center, scale
+
+
+_PLANE_AXES = {"xz": (0, 2), "xy": (0, 1), "yz": (1, 2)}
+
+
+def _triplane_feat_fast(flat, reso: int, padding: float, center, scale,
+                        pts: jnp.ndarray) -> jnp.ndarray:
+    """(B, N, 3) world points -> (B, N, C) summed triplane features via one
+    batched gather. Numerics match sample_plane_feature (align_corners=True,
+    border clamp) with bf16 texels."""
+    B, N, _ = pts.shape
+    xyz = pts if center is None else (pts - center) / scale
+    idxs, wts = [], []
+    for pi, plane in enumerate(("xz", "xy", "yz")):
+        a0, a1 = _PLANE_AXES[plane]
+        # normalize_coordinate (ops/coords.py): p/(1+padding+1e-5) + 0.5,
+        # clipped to [0, 1-1e-5] — constants matched exactly
+        uv = xyz[..., (a0, a1)] / (1.0 + padding + 10e-6) + 0.5
+        uv = jnp.clip(uv, 0.0, 1.0 - 10e-6)
+        ix = uv[..., 0] * (reso - 1)  # align_corners unnormalize of 2uv-1
+        iy = uv[..., 1] * (reso - 1)
+        x0 = jnp.floor(ix)
+        y0 = jnp.floor(iy)
+        wx = (ix - x0)[..., None]
+        wy = (iy - y0)[..., None]
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        x1i = jnp.clip(x0i + 1, 0, reso - 1)
+        y1i = jnp.clip(y0i + 1, 0, reso - 1)
+        x0i = jnp.clip(x0i, 0, reso - 1)
+        y0i = jnp.clip(y0i, 0, reso - 1)
+        base = pi * reso * reso
+        idxs.append(jnp.stack([
+            base + y0i * reso + x0i, base + y0i * reso + x1i,
+            base + y1i * reso + x0i, base + y1i * reso + x1i,
+        ], axis=1))  # (B, 4, N)
+        w = jnp.concatenate([
+            (1 - wx) * (1 - wy), wx * (1 - wy), (1 - wx) * wy, wx * wy,
+        ], axis=-1)  # (B, N, 4)
+        wts.append(w.transpose(0, 2, 1))  # (B, 4, N)
+    idx = jnp.concatenate(idxs, axis=1).reshape(B, 12 * N, 1)
+    w = jnp.concatenate(wts, axis=1)  # (B, 12, N)
+    vals = jnp.take_along_axis(flat, idx, axis=1)  # (B, 12N, C) bf16
+    vals = vals.reshape(B, 12, N, -1)
+    return (vals * w[..., None]).sum(axis=1)  # f32 via weight promote
+
+
 def make_point_tsdf_fn(
     model: GenNerf,
     variables,
@@ -327,21 +395,17 @@ def make_point_tsdf_fn(
         raise NotImplementedError("fused decode assumes zero head bias")
     if weights["dims"][0] != planes["xz"].shape[1]:
         raise NotImplementedError("decoder latent != triplane channels")
-    # bf16 planes: half the gather traffic; the features feed a bf16 MLP
-    # anyway (identical policy to decode_dense's model.dtype cast)
-    repr_bf16 = SceneRepr(
-        volume=None, valid=None,
-        planes={k: v.astype(jnp.bfloat16) for k, v in planes.items()},
-    )
-    origin_a = jnp.asarray(origin, jnp.float32)
+    # bf16 planes flattened into one channels-last table: the 12 bilinear
+    # texels of all 3 planes gather in ONE take_along_axis with zero
+    # transposes (the generic grid_sample path's per-corner relayouts
+    # dominate the arbitrary-point feature stage)
+    flat, reso, padding, center, scale = _triplane_gather_setup(model, planes)
     n_blocks = cfg.mlp.n_blocks
     code_cfg = cfg.code
 
     def tsdf_fn(pts: jnp.ndarray) -> jnp.ndarray:
         B, N, _ = pts.shape
-        feat = model.apply(
-            variables, repr_bf16, pts, origin_a, method=GenNerf.map_features
-        )
+        feat = _triplane_feat_fast(flat, reso, padding, center, scale, pts)
         code = positional_encoding(
             pts.reshape(-1, 3), code_cfg.num_freqs, code_cfg.freq_factor,
             code_cfg.include_input,

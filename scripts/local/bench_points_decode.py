@@ -27,6 +27,9 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true")
     parser.add_argument("--n", type=int, default=1 << 21)
+    parser.add_argument("--stage", default="all",
+                        choices=["all", "points", "renderer"])
+    parser.add_argument("--tiles", type=int, nargs="+", default=None)
     args = parser.parse_args(argv)
 
     import jax
@@ -95,46 +98,99 @@ def main(argv=None):
         print(f"{name}: {min(times)*1e3:.1f} ms = {rate/1e6:.1f}M/s", flush=True)
         return rate
 
+    do_points = args.stage in ("all", "points")
+    do_renderer = args.stage in ("all", "renderer")
     # 1. baseline gather tier
-    timed("decode_dense (gather tier)",
-          lambda: decode_dense(model, variables, repr_, pts[0], origin, 32768), N)
+    if do_points:
+        timed("decode_dense (gather tier)",
+              lambda: decode_dense(model, variables, repr_, pts[0], origin, 32768), N)
 
-    # 3. feature+PE stage alone
-    @jax.jit
-    def feat_stage(p):
-        feat = model.apply(variables, repr_, p, origin, method=_G.map_features)
-        code = positional_encoding(p.reshape(-1, 3), cfg.code.num_freqs,
-                                   cfg.code.freq_factor, cfg.code.include_input)
-        return feat.sum() + code.sum()
+        # 3. feature+PE stage alone
+        @jax.jit
+        def feat_stage(p):
+            feat = model.apply(variables, repr_, p, origin, method=_G.map_features)
+            code = positional_encoding(p.reshape(-1, 3), cfg.code.num_freqs,
+                                       cfg.code.freq_factor, cfg.code.include_input)
+            return feat.sum() + code.sum()
 
-    timed("feature+PE stage (XLA)", lambda: feat_stage(pts), N)
+        timed("feature+PE stage (XLA)", lambda: feat_stage(pts), N)
 
-    # 2. fused point path, tile sweep
-    for tile in ((2048,) if args.quick else (1024, 2048, 4096)):
-        try:
-            fn = make_point_tsdf_fn(model, variables, repr_, origin, tile=tile)
-            timed(f"fused point decode (tile {tile})", lambda: fn(pts), N)
-        except Exception as e:
-            print(f"fused tile {tile}: {type(e).__name__}: {e}", flush=True)
+        # 3b. the fast channels-last batched gather + its XLA-MLP variant
+        from gennerf_tpu.train.predict import (
+            _triplane_feat_fast,
+            _triplane_gather_setup,
+        )
+
+        flat, reso, padding, center, scale = _triplane_gather_setup(
+            model, repr_.planes)
+
+        @jax.jit
+        def feat_fast(p):
+            feat = _triplane_feat_fast(flat, reso, padding, center, scale, p)
+            code = positional_encoding(p.reshape(-1, 3), cfg.code.num_freqs,
+                                       cfg.code.freq_factor, cfg.code.include_input)
+            return feat.sum() + code.sum()
+
+        timed("feature+PE stage (fast gather)", lambda: feat_fast(pts), N)
+
+        d_geo = cfg.mlp.d_out_geo
+
+        @jax.jit
+        def fast_gather_xla_mlp(p):
+            B, Np, _ = p.shape
+            feat = _triplane_feat_fast(flat, reso, padding, center, scale, p)
+            code = positional_encoding(p.reshape(-1, 3), cfg.code.num_freqs,
+                                       cfg.code.freq_factor, cfg.code.include_input)
+            mlp_in = jnp.concatenate([code.reshape(B, Np, -1), feat], -1)
+            return model.apply(
+                variables, mlp_in,
+                method=lambda m, x: m.head_geo(m.mlp(x)[..., :d_geo]))
+
+        timed("fast gather + XLA MLP", lambda: fast_gather_xla_mlp(pts), N)
+
+        # 2. fused point path, tile sweep
+        tiles = args.tiles or ((2048,) if args.quick else (1024, 2048, 4096))
+        for tile in tiles:
+            try:
+                fn = make_point_tsdf_fn(model, variables, repr_, origin, tile=tile)
+                timed(f"fused point decode (tile {tile})", lambda: fn(pts), N)
+            except Exception as e:
+                print(f"fused tile {tile}: {type(e).__name__}: {e}", flush=True)
 
     # 4. renderer
+    if not do_renderer:
+        print(json.dumps({"platform": platform, "n_points": N, **{
+            k: {kk: round(vv, 6) for kk, vv in v.items()} for k, v in results.items()
+        }}))
+        return
     def decode_fn(p):
         return model.apply(variables, repr_, p, origin, method=_G.decode)
 
     Kj = jnp.asarray(K)[None]
     pose_j = jnp.asarray(look_at_pose([2.2, 0.0, 1.3], [0, 0, 0.5]).astype(np.float32))[None]
     n_rays = H * W
-    for name, tsdf_fn in (
-        ("renderer plain", None),
-        ("renderer fused", make_point_tsdf_fn(model, variables, repr_, origin, tile=2048)),
+    # chunked field evaluator: the march batches are large (R*S points) and
+    # an unchunked MLP thrashes HBM with full-size activations; decode_dense
+    # keeps them 32k-chunked (measured 24.4M vs 13.8M pts/s unchunked)
+    def tsdf_chunked(p):
+        B, Np, _ = p.shape
+        return decode_dense(model, variables, repr_, p.reshape(-1, 3), origin,
+                            32768).reshape(B, Np)
+
+    for name, kwargs in (
+        ("renderer 64-step (round-2 baseline)",
+         dict(n_steps=64, n_secant_steps=8, n_max_network_queries=262144)),
+        ("renderer hier 16+8",
+         dict(n_steps=16, n_fine_steps=8, n_secant_steps=8,
+              n_max_network_queries=786432)),
+        ("renderer hier 16+8 chunked",
+         dict(n_steps=16, n_fine_steps=8, n_secant_steps=8,
+              n_max_network_queries=786432, tsdf_fn=tsdf_chunked)),
+        ("renderer hier 16+8 chunked secant4",
+         dict(n_steps=16, n_fine_steps=8, n_secant_steps=4,
+              n_max_network_queries=786432, tsdf_fn=tsdf_chunked)),
     ):
-        # the fused march must NOT sit inside lax.map chunking (pallas_call
-        # under lax.map serializes ~100x — BENCH.md round-1 log): size the
-        # query budget to march the whole image in one call
-        n_max = 64 * n_rays if tsdf_fn is not None else 262144
-        r = SurfaceRenderer(decode_fn, near=0.5, far=4.5, n_steps=64,
-                            n_secant_steps=8, tsdf_fn=tsdf_fn,
-                            n_max_network_queries=n_max)
+        r = SurfaceRenderer(decode_fn, near=0.5, far=4.5, **kwargs)
         render = jax.jit(lambda: r.render_depth_image(Kj, pose_j, H, W))
         out = render()
         float(out.sum())

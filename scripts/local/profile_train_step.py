@@ -19,6 +19,10 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--trace", default=None)
     parser.add_argument("--frames", type=int, default=8)
+    parser.add_argument("--precision", default="32-true",
+                        help="trainer.precision surface: 32-true | bf16-mixed")
+    parser.add_argument("--step-only", action="store_true",
+                        help="measure just the full train step (for A/B runs)")
     args = parser.parse_args()
 
     import jax
@@ -38,8 +42,11 @@ def main():
         sample_supervision_points,
     )
 
+    from gennerf_tpu.train.tasks import dtype_for_precision
+
     cfg = _flagship_cfg()
-    model = GenNerf(cfg)
+    model = GenNerf(cfg, dtype=dtype_for_precision(args.precision))
+    print(f"precision={args.precision} (compute dtype {model.dtype})")
     T = args.frames
     H, W = 480, 640
     K = np.array([[0.6 * W, 0, W / 2], [0, 0.6 * W, H / 2], [0, 0, 1]], np.float32)
@@ -105,6 +112,8 @@ def main():
     s_chain[0] = state
     timeit("train step (fwd+bwd+Adam)", step_once)
     s_chain[0] = state
+    if args.step_only:
+        return
 
     # forward loss only
     @jax.jit

@@ -155,3 +155,42 @@ class TestSurfaceRenderer:
         assert d_big.shape == (1, H, W)
         np.testing.assert_allclose(np.asarray(d_small), np.asarray(d_big), atol=1e-6)
         assert (np.asarray(d_big) > 0).any()
+
+
+class TestHierarchicalMarch:
+    def test_sphere_depth_matches_closed_form(self):
+        """The coarse->fine march (24+8 evals) reaches the analytic sphere
+        depth as accurately as the 64-step uniform march at ~half the field
+        evaluations."""
+        radius = 0.5
+
+        def tsdf_fn(pts):
+            return jnp.linalg.norm(pts, axis=-1) - radius
+
+        B, R = 1, 8
+        origins = jnp.tile(jnp.array([[0.0, 0.0, -2.0]]), (B, R, 1))
+        angles = jnp.linspace(-0.15, 0.15, R)
+        dirs = jnp.stack([jnp.sin(angles), jnp.zeros(R), jnp.cos(angles)], -1)[None]
+        depth, mask = ray_march_tsdf(tsdf_fn, origins, dirs, near=0.1, far=4.0,
+                                     n_steps=24, n_secant_steps=8,
+                                     n_fine_steps=8)
+        assert np.asarray(mask).all()
+        o = np.asarray(origins)[0, 0]
+        for i in range(R):
+            d = np.asarray(dirs)[0, i]
+            b = np.dot(o, d)
+            t_true = -b - np.sqrt(b**2 - (np.dot(o, o) - radius**2))
+            assert abs(float(depth[0, i]) - t_true) < 2e-3
+
+    def test_hierarchical_equals_uniform_on_smooth_field(self):
+        def tsdf_fn(pts):
+            return jnp.linalg.norm(pts, axis=-1) - 0.5
+
+        origins = jnp.array([[[0.0, 0.2, -2.0]]])
+        dirs = jnp.array([[[0.0, 0.0, 1.0]]])
+        d_uni, m_uni = ray_march_tsdf(tsdf_fn, origins, dirs, n_steps=64,
+                                      n_secant_steps=8)
+        d_hier, m_hier = ray_march_tsdf(tsdf_fn, origins, dirs, n_steps=24,
+                                        n_secant_steps=8, n_fine_steps=8)
+        assert bool(m_uni[0, 0]) == bool(m_hier[0, 0]) == True
+        assert abs(float(d_uni[0, 0]) - float(d_hier[0, 0])) < 1e-3
