@@ -36,6 +36,7 @@ def predict(cfg: dict):
     # snapshot's model config so the restored pytree always matches
     model_cfg = cfg["model"]
     precision = cfg.get("trainer", {}).get("precision")
+    snap = None
     snap_path = os.path.join(cfg["ckpt_path"], "config.json")
     if os.path.exists(snap_path):
         import json
@@ -60,8 +61,35 @@ def predict(cfg: dict):
 
     first = next(iter(loader))
     state = task.init_state(jax.random.PRNGKey(0), first)
-    state = CheckpointManager(cfg["ckpt_path"]).restore(state)
-    log.info(f"loaded checkpoint from {cfg['ckpt_path']}")
+    # when the training run monitored a metric, inference restores the BEST
+    # checkpoint, not the last (the reference tests/predicts from
+    # checkpoint_callback.best_model_path, src/train.py:101-108); the
+    # monitor travels in the config snapshot
+    ckpt_cfg = (snap or cfg).get("callbacks", {}).get("model_checkpoint", {}) or {}
+    mgr = CheckpointManager(
+        cfg["ckpt_path"],
+        save_top_k=ckpt_cfg.get("save_top_k", -1),
+        monitor=ckpt_cfg.get("monitor"),
+        mode=ckpt_cfg.get("mode", "min"),
+    )
+    best = mgr.best_epoch()
+    restored_epoch = best if best is not None else mgr.latest_epoch()
+    if best is not None:
+        state = mgr.restore_best(state)
+        log.info(f"loaded BEST checkpoint (epoch {best}, "
+                 f"monitor {ckpt_cfg.get('monitor')!r}) from {cfg['ckpt_path']}")
+    else:
+        state = mgr.restore(state)
+        log.info(f"loaded checkpoint from {cfg['ckpt_path']}")
+    import json
+
+    with open(os.path.join(output_dir, "predict_meta.json"), "w") as f:
+        json.dump({
+            "ckpt_path": cfg["ckpt_path"],
+            "epoch": restored_epoch,
+            "selected_by": ckpt_cfg.get("monitor") if best is not None else "latest",
+            "precision": precision,
+        }, f, indent=2)
 
     for batch in loader:
         scene = batch["scene"][0]

@@ -382,3 +382,22 @@ class TestBestCheckpointSelection:
         ck = os.path.join(out, "checkpoints")
         kept = sorted(int(d) for d in os.listdir(ck) if d.isdigit())
         assert kept == [best_idx], (kept, vals)
+
+        # inference also selects the monitored-best checkpoint (reference
+        # predicts from best_model_path) and records provenance
+        import predict as predict_cli
+
+        pred_out = str(tmp_path / "pred_best")
+        predict_cli.main([
+            f"ckpt_path={ck}",
+            f"paths.data_dir={root}",
+            f"paths.output_dir={pred_out}",
+            "data.datasets_test=[scans/scene_synth0/info.json]",
+            "data.dataset_type=scenes",
+            "data.num_frames_test=4",
+            "data.voxel_dim_test=[40,40,20]",
+            "data.voxel_size=0.08",
+        ])
+        meta = json.load(open(os.path.join(pred_out, "predict_meta.json")))
+        assert meta["epoch"] == best_idx
+        assert meta["selected_by"] == "val_combined"
