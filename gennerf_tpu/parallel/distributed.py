@@ -71,6 +71,33 @@ def init_distributed(
             process_id=process_id,
         )
     jax.distributed.initialize(**kwargs)
+    if jax.process_count() > 1:
+        _warmup_collectives()
+
+
+def _warmup_collectives() -> None:
+    """Form the cross-process collective transport (gloo contexts / DCN
+    rendezvous) with a trivial all-reduce while the processes are still
+    aligned from initialize().
+
+    XLA's first-collective transport rendezvous runs under a short (~30 s)
+    KV-store timeout, while each process first compiles the real step
+    program independently — on a loaded host that compile skew alone can
+    blow the window (observed: gloo `GetKeyValue() timed out` under a
+    parallel test suite). A zero-cost psum over ALL global devices creates
+    the full-clique context up front; the step program reuses it.
+    """
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    devs = np.asarray(jax.devices())
+    mesh = Mesh(devs, ("d",))
+    x = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, PartitionSpec("d")),
+        np.ones((jax.local_device_count(),), np.float32),
+        (devs.size,),
+    )
+    jax.block_until_ready(jax.jit(lambda a: a.sum())(x))
 
 
 def process_index() -> int:
