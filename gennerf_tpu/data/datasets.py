@@ -224,7 +224,14 @@ def parse_splits_list(splits, data_dir: Optional[str] = None) -> List[str]:
             info_files.append(split_path)
         elif ext == ".txt":
             with open(split_path) as f:
-                info_files += [line.rstrip() for line in f if line.strip()]
+                lines = [line.strip() for line in f if line.strip()]
+            # relative info paths resolve against data_dir, like the .json
+            # branch (split files list repo/data-relative paths)
+            info_files += [
+                line if os.path.isabs(line) or not data_dir
+                else os.path.join(data_dir, line)
+                for line in lines
+            ]
         else:
             raise NotImplementedError(f"{split} not a valid info_file type")
     return info_files

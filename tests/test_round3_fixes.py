@@ -323,3 +323,25 @@ class TestGeometryFamilies:
         v = np.asarray(vol.tsdf_vol)
         # the fused volume contains actual surface (sign change)
         assert (v < 0).any() and (v > 0).any()
+
+
+class TestParseSplitsList:
+    """parse_splits_list resolves relative .txt entries against data_dir
+    (reference data.py:624-643 joins against the repo root; ours joins the
+    configured data_dir so split files are relocatable)."""
+
+    def test_txt_entries_resolve_against_data_dir(self, tmp_path):
+        from gennerf_tpu.data.datasets import parse_splits_list
+
+        (tmp_path / "train.txt").write_text(
+            "scans/a/info.json\n/abs/b/info.json\n\n")
+        out = parse_splits_list(["train.txt"], data_dir=str(tmp_path))
+        assert out == [str(tmp_path / "scans/a/info.json"), "/abs/b/info.json"]
+
+    def test_txt_entries_unchanged_without_data_dir(self, tmp_path):
+        from gennerf_tpu.data.datasets import parse_splits_list
+
+        p = tmp_path / "val.txt"
+        p.write_text("scans/a/info.json\n")
+        out = parse_splits_list([str(p)])
+        assert out == ["scans/a/info.json"]
