@@ -216,6 +216,11 @@ class GenNerfConfig:
     voxel_dim_train: Tuple[int, int, int] = (160, 160, 64)
     voxel_dim_val: Tuple[int, int, int] = (256, 256, 96)
     voxel_dim_test: Tuple[int, int, int] = (416, 416, 128)
+    # inference: clamp decoded voxels no input frame touches to the fusion
+    # init (+1) — where the fused GT is +1 deterministically (see
+    # tsdf.fusion.apply_fusion_prior); trims hallucinated surface outside
+    # observed space
+    mask_unobserved: bool = True
     sampling_mode: str = "ray"  # 'ray' | 'frustum'
     ray: RayConfig = RayConfig()
     frustum: FrustumConfig = FrustumConfig()
@@ -271,6 +276,8 @@ class VoxelNetConfig:
     voxel_dim_train: Tuple[int, int, int] = (160, 160, 64)
     voxel_dim_val: Tuple[int, int, int] = (256, 256, 96)
     voxel_dim_test: Tuple[int, int, int] = (416, 416, 128)
+    # see GenNerfConfig.mask_unobserved
+    mask_unobserved: bool = True
     encoder: EncoderConfig = EncoderConfig(
         use_pointnet=False,
         spatial=SpatialEncoderConfig(blur_image=False),

@@ -16,6 +16,7 @@ import numpy as np
 from ..models import GenNerf, GenNerfConfig, VoxelNet, VoxelNetConfig, config_from_dict
 from ..models.gen_nerf import SceneRepr
 from ..tsdf import TSDF
+from ..tsdf.fusion import apply_fusion_prior
 from .predict import predict_tsdf_volume
 from .state import TrainState, create_train_state, make_optimizer
 from .step import (
@@ -128,6 +129,16 @@ class GenNerfTask:
         vol = predict_tsdf_volume(
             self.model, variables, repr_, voxel_dim, cfg.voxel_size, np.zeros(3)
         )
+        if cfg.mask_unobserved:
+            # clamp voxels no input frame touches to the fusion init (+1):
+            # there the fused GT is +1 deterministically, and the decoder's
+            # extrapolation only adds hallucinated surface (see
+            # tsdf.fusion.apply_fusion_prior)
+            vol = apply_fusion_prior(
+                vol, cfg.voxel_size, jnp.zeros(3),
+                jnp.asarray(b["projection"][b_idx]),
+                jnp.asarray(b["depth"][b_idx]),
+            )
         origin_arr = jnp.zeros((1, 3))
         return (
             TSDF(cfg.voxel_size, origin_arr, vol),
@@ -195,6 +206,12 @@ class VoxelNetTask:
         trgt = jnp.asarray(b[key][b_idx, 0]) if key in b else None
         origin_arr = jnp.zeros((1, 3))
         vs = self.cfg.voxel_size
+        if self.cfg.mask_unobserved:
+            pred = apply_fusion_prior(
+                pred, vs, jnp.zeros(3),
+                jnp.asarray(b["projection"][b_idx]),
+                jnp.asarray(b["depth"][b_idx]),
+            )
         return (
             TSDF(vs, origin_arr, pred),
             TSDF(vs, origin_arr, trgt) if trgt is not None else None,

@@ -195,3 +195,69 @@ class TSDFFusion:
 @partial(jax.jit, static_argnames=("voxel_dim", "voxel_size", "trunc_margin"))
 def _integrate_jit(state, voxel_dim, voxel_size, origin, trunc_margin, projection, depth, color, label):
     return integrate(state, voxel_dim, voxel_size, origin, trunc_margin, projection, depth, color, label)
+
+
+@partial(jax.jit, static_argnames=("voxel_dim", "voxel_size", "trunc_margin"))
+def touched_mask(
+    voxel_dim,
+    voxel_size: float,
+    origin,
+    trunc_margin: float,
+    projections: jnp.ndarray,
+    depths: jnp.ndarray,
+) -> jnp.ndarray:
+    """(V,) bool: voxels the reference fusion would ever WRITE given these
+    frames (reference tsdf.py:387-401: in frustum, valid depth pixel, and
+    dist=(pz-d)/trunc < 1 i.e. not beyond the truncation band behind the
+    surface). The complement is exactly the set where the fused GT is a
+    deterministic +1 (the fusion init) regardless of scene content — see
+    `apply_fusion_prior`.
+
+    Args:
+        projections: (T, 3, 4) world->image.
+        depths: (T, H, W); 0 = invalid.
+    """
+    H, W = depths.shape[-2:]
+    nx, ny, nz = voxel_dim
+    V = nx * ny * nz
+
+    def step(touched, frame):
+        projection, depth = frame
+        px, py, pz, in_view = project_voxels(
+            voxel_dim, voxel_size, origin, projection[None], H, W
+        )
+        px, py, pz, in_view = px[0], py[0], pz[0], in_view[0]
+        d = depth[py, px]
+        valid = in_view & (d > 0) & ((pz - d) < trunc_margin)
+        return touched | valid, None
+
+    touched, _ = jax.lax.scan(step, jnp.zeros((V,), bool), (projections, depths))
+    return touched
+
+
+def apply_fusion_prior(
+    tsdf_vol: jnp.ndarray,
+    voxel_size: float,
+    origin,
+    projections: jnp.ndarray,
+    depths: jnp.ndarray,
+    trunc_ratio: float = 3.0,
+) -> jnp.ndarray:
+    """Clamp a predicted dense TSDF to the fusion init (+1) on voxels no
+    input frame ever touches.
+
+    On those voxels the reference's fused GT (tsdf.py:369-418) equals its
+    init value +1 *deterministically* — out-of-frustum, invalid-depth, or
+    more than trunc_margin behind every observed surface — so emitting the
+    model's extrapolation there can only add hallucinated surface. This is
+    the inference-side analog of the reference's `volume[:, valid==0] = 0`
+    feature masking (voxel_net.py:163-167), applied to the decoded field
+    using only inputs the model already consumes.
+    """
+    voxel_dim = tuple(int(s) for s in tsdf_vol.shape)
+    t = touched_mask(
+        voxel_dim, float(voxel_size), jnp.asarray(origin, jnp.float32).reshape(3),
+        float(voxel_size) * trunc_ratio, projections, depths,
+    )
+    flat = tsdf_vol.reshape(-1)
+    return jnp.where(t, flat, jnp.ones((), flat.dtype)).reshape(voxel_dim)

@@ -194,3 +194,58 @@ class TestTSDFTransform:
         ref = near.numpy()
 
         np.testing.assert_allclose(np.asarray(ours.tsdf_vol), ref, rtol=1e-4, atol=1e-4)
+
+
+class TestFusionPrior:
+    """apply_fusion_prior: predicted TSDF clamped to the fusion init (+1)
+    exactly where the reference fusion (tsdf.py:369-418) never writes."""
+
+    def test_untouched_voxels_clamped_touched_kept(self, sphere_scene):
+        from gennerf_tpu.tsdf.fusion import apply_fusion_prior, fuse_frames
+
+        voxel_dim, vs = (32, 32, 32), 0.05
+        origin = np.array([-0.8, -0.8, -0.8], np.float32)
+        # a "prediction" with surface junk everywhere: constant 0.01
+        pred = jnp.full(voxel_dim, 0.01, jnp.float32)
+        out = np.asarray(apply_fusion_prior(
+            pred, vs, origin,
+            jnp.asarray(sphere_scene["projs"]), jnp.asarray(sphere_scene["depths"]),
+        ))
+
+        # fuse the same frames: weight>0 voxels were definitely touched ->
+        # prediction preserved there
+        state = fuse_frames(
+            voxel_dim, vs, jnp.asarray(origin), vs * 3,
+            jnp.asarray(sphere_scene["projs"]), jnp.asarray(sphere_scene["depths"]),
+            None, None,
+        )
+        w = np.asarray(state.weight).reshape(voxel_dim)
+        assert (out[w > 0] == np.float32(0.01)).all()
+
+        # deep sphere interior (more than trunc behind every surface) is
+        # untouched -> clamped to the fusion init +1
+        ii = (np.arange(32) + 0.5) * vs + origin[0]
+        X, Y, Z = np.meshgrid(ii, ii, ii, indexing="ij")
+        r = np.sqrt(X**2 + Y**2 + Z**2)
+        deep = r < sphere_scene["radius"] - 4 * vs
+        assert deep.sum() > 0
+        assert (out[deep] == 1.0).all()
+
+    def test_matches_fused_gt_on_untouched(self, sphere_scene):
+        """On every voxel the prior clamps, the actual fused GT equals +1 —
+        the determinism claim the mask rests on."""
+        from gennerf_tpu.tsdf.fusion import apply_fusion_prior, fuse_frames, touched_mask
+
+        voxel_dim, vs = (24, 24, 24), 0.07
+        origin = np.array([-0.84, -0.84, -0.84], np.float32)
+        t = np.asarray(touched_mask(
+            voxel_dim, vs, jnp.asarray(origin), vs * 3,
+            jnp.asarray(sphere_scene["projs"]), jnp.asarray(sphere_scene["depths"]),
+        )).reshape(voxel_dim)
+        state = fuse_frames(
+            voxel_dim, vs, jnp.asarray(origin), vs * 3,
+            jnp.asarray(sphere_scene["projs"]), jnp.asarray(sphere_scene["depths"]),
+            None, None,
+        )
+        gt = np.asarray(state.tsdf).reshape(voxel_dim)
+        assert (gt[~t] == 1.0).all()
