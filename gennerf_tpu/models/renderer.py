@@ -144,17 +144,19 @@ class SurfaceRenderer:
     """
 
     def __init__(self, decode_fn, near: float = 0.05, far: float = 4.0,
-                 n_steps: int = 16, n_secant_steps: int = 8,
+                 n_steps: int = 16, n_secant_steps: int = 4,
                  n_max_network_queries: int = 786432, tsdf_fn=None,
                  n_fine_steps: int = 8, eval_chunk: int = 32768):
         """Defaults are the round-3 TPU-tuned fast recipe (BENCH.md): a
-        16-sample coarse march + 8-sample fine bracket refinement + secant,
-        with field lookups internally chunked to `eval_chunk` points (an
-        unchunked MLP over the marched megabatch thrashes HBM with
-        full-size activations — measured 24.4M vs 13.8M pts/s). Equal
-        accuracy to the old 64-step uniform march at 2.9x the rays/s
-        (0.596M vs 0.203M on v5e-1). Set n_fine_steps=0 for the uniform
-        march.
+        16-sample coarse march + 8-sample fine bracket refinement + 4
+        secant iterations (the fine pass already brackets the crossing to
+        (far-near)/105, so 4 superlinear secant steps land sub-voxel;
+        pass 8 for the reference's count, renderer.py:325), with field
+        lookups internally chunked to `eval_chunk` points (an unchunked
+        MLP over the marched megabatch thrashes HBM with full-size
+        activations — measured 24.4M vs 13.8M pts/s). Equal accuracy to
+        the old 64-step uniform march at 2.9x the rays/s (0.596M vs
+        0.203M on v5e-1). Set n_fine_steps=0 for the uniform march.
 
         `tsdf_fn` optionally overrides the march/secant field lookups
         with a custom forward-only evaluator ((B, N, 3) -> (B, N)). The
