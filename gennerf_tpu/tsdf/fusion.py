@@ -235,6 +235,38 @@ def touched_mask(
     return touched
 
 
+@partial(jax.jit, static_argnames=("voxel_dim", "voxel_size", "trunc_margin"))
+def _prior_classes(voxel_dim, voxel_size, origin, trunc_margin, projections, depths):
+    """(near_any, farfront_any): per-voxel bools over the frame set.
+
+    near: some frame observes the voxel inside the truncation band
+    (|pz - d| < trunc_margin) — fusion accumulates the model-relevant
+    ramp there. farfront: some frame observes it more than trunc_margin
+    IN FRONT of the measured surface (pz <= d - trunc_margin) — the
+    clipped dist is exactly -1 for that frame.
+    """
+    H, W = depths.shape[-2:]
+    nx, ny, nz = voxel_dim
+    V = nx * ny * nz
+
+    def step(carry, frame):
+        near, farfront = carry
+        projection, depth = frame
+        px, py, pz, in_view = project_voxels(
+            voxel_dim, voxel_size, origin, projection[None], H, W
+        )
+        px, py, pz, in_view = px[0], py[0], pz[0], in_view[0]
+        d = depth[py, px]
+        valid = in_view & (d > 0)
+        near = near | (valid & (jnp.abs(pz - d) < trunc_margin))
+        farfront = farfront | (valid & ((pz - d) <= -trunc_margin))
+        return (near, farfront), None
+
+    init = (jnp.zeros((V,), bool), jnp.zeros((V,), bool))
+    (near, farfront), _ = jax.lax.scan(step, init, (projections, depths))
+    return near, farfront
+
+
 def apply_fusion_prior(
     tsdf_vol: jnp.ndarray,
     voxel_size: float,
@@ -243,21 +275,35 @@ def apply_fusion_prior(
     depths: jnp.ndarray,
     trunc_ratio: float = 3.0,
 ) -> jnp.ndarray:
-    """Clamp a predicted dense TSDF to the fusion init (+1) on voxels no
-    input frame ever touches.
+    """Replace the predicted dense TSDF wherever the fused GT of the input
+    frames is a deterministic constant; keep the model's field in the
+    near-surface band where reconstruction actually happens.
 
-    On those voxels the reference's fused GT (tsdf.py:369-418) equals its
-    init value +1 *deterministically* — out-of-frustum, invalid-depth, or
-    more than trunc_margin behind every observed surface — so emitting the
-    model's extrapolation there can only add hallucinated surface. This is
-    the inference-side analog of the reference's `volume[:, valid==0] = 0`
-    feature masking (voxel_net.py:163-167), applied to the decoded field
-    using only inputs the model already consumes.
+    Per the reference fusion semantics (tsdf.py:369-418; mirrored exactly
+    by `integrate` above):
+
+      * a voxel some frame observes inside the truncation band
+        (|pz - d| < trunc) gets the accumulated ramp — model territory,
+        prediction kept;
+      * otherwise, if some valid frame sees it more than trunc IN FRONT of
+        its measured surface, every such frame contributes the clipped
+        dist -1 with zero near-surface weight, so the fused value is
+        exactly -1 (free space the input rays provably traversed);
+      * otherwise (out of every frustum, behind invalid pixels, or deeper
+        than trunc behind every surface) fusion never writes it and the
+        fused value is exactly the init +1.
+
+    Both constants are functions of the (projection, depth) inputs the
+    model already consumes — this is the inference-side analog of the
+    reference's `volume[:, valid==0] = 0` feature masking
+    (voxel_net.py:163-167), and it removes hallucinated surface the
+    eval-side re-fusion trim cannot reach (it is visible from GT views).
     """
     voxel_dim = tuple(int(s) for s in tsdf_vol.shape)
-    t = touched_mask(
+    near, farfront = _prior_classes(
         voxel_dim, float(voxel_size), jnp.asarray(origin, jnp.float32).reshape(3),
         float(voxel_size) * trunc_ratio, projections, depths,
     )
     flat = tsdf_vol.reshape(-1)
-    return jnp.where(t, flat, jnp.ones((), flat.dtype)).reshape(voxel_dim)
+    one = jnp.ones((), flat.dtype)
+    return jnp.where(near, flat, jnp.where(farfront, -one, one)).reshape(voxel_dim)

@@ -231,10 +231,22 @@ class TestFusionPrior:
         assert deep.sum() > 0
         assert (out[deep] == 1.0).all()
 
-    def test_matches_fused_gt_on_untouched(self, sphere_scene):
-        """On every voxel the prior clamps, the actual fused GT equals +1 —
-        the determinism claim the mask rests on."""
-        from gennerf_tpu.tsdf.fusion import apply_fusion_prior, fuse_frames, touched_mask
+        # free space the input rays provably traversed: voxels on the
+        # camera-0 axis just outside the sphere project inside its
+        # silhouette (valid depth) more than trunc in front of the surface
+        # -> the deterministic fused value -1 (euclidean gap 0.2-0.25 >
+        # trunc 0.15 also bounds |pz-d| from below for every other view,
+        # so no frame sees them near-surface)
+        free = (X > sphere_scene["radius"] + 4 * vs) & (X < 0.75) \
+            & (np.abs(Y) < vs) & (np.abs(Z) < vs)
+        assert free.sum() > 0
+        assert (out[free] == -1.0).all()
+
+    def test_matches_fused_gt_on_clamped_classes(self, sphere_scene):
+        """On every voxel the prior clamps, the actual fused GT equals the
+        clamped constant — the determinism claim the mask rests on."""
+        from gennerf_tpu.tsdf.fusion import (
+            _prior_classes, fuse_frames, touched_mask)
 
         voxel_dim, vs = (24, 24, 24), 0.07
         origin = np.array([-0.84, -0.84, -0.84], np.float32)
@@ -242,10 +254,25 @@ class TestFusionPrior:
             voxel_dim, vs, jnp.asarray(origin), vs * 3,
             jnp.asarray(sphere_scene["projs"]), jnp.asarray(sphere_scene["depths"]),
         )).reshape(voxel_dim)
+        near, farfront = _prior_classes(
+            voxel_dim, vs, jnp.asarray(origin), vs * 3,
+            jnp.asarray(sphere_scene["projs"]), jnp.asarray(sphere_scene["depths"]),
+        )
+        near = np.asarray(near).reshape(voxel_dim)
+        farfront = np.asarray(farfront).reshape(voxel_dim)
         state = fuse_frames(
             voxel_dim, vs, jnp.asarray(origin), vs * 3,
             jnp.asarray(sphere_scene["projs"]), jnp.asarray(sphere_scene["depths"]),
             None, None,
         )
         gt = np.asarray(state.tsdf).reshape(voxel_dim)
+        # untouched -> fused init +1
         assert (gt[~t] == 1.0).all()
+        # far-in-front-only -> fused value exactly -1
+        ff_only = farfront & ~near
+        assert ff_only.sum() > 0
+        assert (gt[ff_only] == -1.0).all()
+        # the prior's "model territory" is exactly where fusion accumulated
+        # near-surface weight
+        w = np.asarray(state.weight).reshape(voxel_dim)
+        assert (near == (w > 0)).all()
