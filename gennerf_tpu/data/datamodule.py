@@ -31,13 +31,39 @@ from .datasets import (
 class LockedGenerator:
     """Thread-safe proxy over np.random.Generator: datasets and transforms
     draw randomness inside __getitem__, which the loader runs concurrently
-    on a worker pool (np Generators are not thread-safe)."""
+    on a worker pool (np Generators are not thread-safe).
+
+    Beyond the lock, the proxy supports deterministic per-item streams:
+    inside an `item_scope(seed)` block (entered by the DataLoader around
+    each __getitem__), draws come from a thread-local Generator seeded for
+    that item — so the random stream an item sees depends only on
+    (base seed, item serial), never on worker-thread scheduling. Without
+    a scope (direct dataset use) draws fall back to the locked shared
+    Generator."""
 
     def __init__(self, rng: np.random.Generator):
         self._rng = rng
         self._lock = threading.Lock()
+        self._local = threading.local()
+
+    def item_scope(self, seed):
+        """Context manager binding this thread's draws to a fresh
+        Generator seeded by `seed` (any np.random.default_rng seed)."""
+        proxy = self
+
+        class _Scope:
+            def __enter__(self):
+                proxy._local.rng = np.random.default_rng(seed)
+
+            def __exit__(self, *exc):
+                proxy._local.rng = None
+
+        return _Scope()
 
     def __getattr__(self, name):
+        local_rng = getattr(self._local, "rng", None)
+        if local_rng is not None:
+            return getattr(local_rng, name)
         fn = getattr(self._rng, name)
         if not callable(fn):
             return fn
@@ -59,7 +85,8 @@ class DataLoader:
     """
 
     def __init__(self, dataset, batch_size=1, shuffle=False, collate=collate_fn,
-                 drop_last=False, prefetch=2, seed=0, num_workers=4):
+                 drop_last=False, prefetch=2, seed=0, num_workers=4,
+                 item_rng: Optional[LockedGenerator] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -67,7 +94,30 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = max(prefetch, 1)
         self.num_workers = num_workers
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
+        # deterministic per-item randomness: when the dataset/transforms
+        # draw from `item_rng` (a LockedGenerator), each __getitem__ runs
+        # under item_rng.item_scope((seed, serial)) where `serial` counts
+        # items in submission order across epochs — the stream an item
+        # sees depends only on (seed, serial), never on worker-thread
+        # scheduling, and is identical for any num_workers setting
+        self.item_rng = item_rng
+        self._serial = 0
+
+    def _job(self, i: int):
+        """Zero-arg item loader; assigns the item's RNG serial NOW (in the
+        deterministic submission order), executes later (any thread)."""
+        if self.item_rng is None:
+            return lambda: self.dataset[i]
+        serial = self._serial
+        self._serial += 1
+
+        def job():
+            with self.item_rng.item_scope((self.seed, serial)):
+                return self.dataset[i]
+
+        return job
 
     def __len__(self):
         n = len(self.dataset)
@@ -88,7 +138,7 @@ class DataLoader:
     def __iter__(self):
         if self.num_workers <= 0:
             for chunk in self._index_batches():
-                yield self.collate([self.dataset[i] for i in chunk])
+                yield self.collate([self._job(i)() for i in chunk])
             return
 
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
@@ -96,7 +146,7 @@ class DataLoader:
             chunks = self._index_batches()
             in_flight = 0
             for chunk in chunks:
-                pending.put([pool.submit(self.dataset.__getitem__, i) for i in chunk])
+                pending.put([pool.submit(self._job(i)) for i in chunk])
                 in_flight += 1
                 if in_flight >= self.prefetch + 1:
                     break
@@ -106,7 +156,7 @@ class DataLoader:
                 batch = self.collate([f.result() for f in futures])
                 nxt = next(chunks, None)
                 if nxt is not None:
-                    pending.put([pool.submit(self.dataset.__getitem__, i) for i in nxt])
+                    pending.put([pool.submit(self._job(i)) for i in nxt])
                     in_flight += 1
                 yield batch
 
@@ -204,6 +254,8 @@ class ScannetDataModule:
 
         mode_salt = zlib.crc32(mode.encode()) % 1000
         rng = LockedGenerator(np.random.default_rng(self.seed + mode_salt))
+        self._mode_rng = rng          # the loader scopes it per item
+        self._mode_seed = self.seed + mode_salt
         transform = self.get_transform(mode, rng)
         dtype = c.get("dataset_type", "sequences")
         from_archive = c.get("from_archive", False)
@@ -254,13 +306,18 @@ class ScannetDataModule:
 
     # -- loaders ---------------------------------------------------------------
     def _loader(self, mode: str, shuffle: bool) -> DataLoader:
+        ds = self.choose_dataset(mode)
+        # per-item deterministic randomness (see DataLoader._job): the
+        # dataset/transforms draw from the mode's LockedGenerator, which
+        # the loader re-seeds per item from (mode seed, item serial)
         return DataLoader(
-            self.choose_dataset(mode),
+            ds,
             batch_size=self.cfg.get("batch_size", 1),
             shuffle=shuffle,
-            seed=self.seed,
+            seed=self._mode_seed,
             num_workers=self.cfg.get(f"num_workers_{mode}",
                                      self.cfg.get("num_workers", 4)),
+            item_rng=self._mode_rng,
         )
 
     def train_dataloader(self) -> DataLoader:

@@ -293,8 +293,14 @@ class TestGeneralization:
         val = [r["val_combined"] for r in rows if "val_combined" in r]
         assert len(val) >= 6
         assert np.isfinite(val).all()
-        # the val scene was never trained on: improvement = generalization
-        assert val[-1] < val[0] * 0.6, (val[0], val[-1], val)
+        # the val scene was never trained on: landing well below the
+        # encoder-independent PE-only plateau (~0.24 on this setup; raw
+        # coords never leave it, see BENCH.md) = generalization through
+        # the triplane encoder. Absolute, not val[0]-relative: with the
+        # deterministic loader the phase transition can land before the
+        # first val measurement, making ratios-to-val[0] meaningless.
+        assert min(val) < 0.15, (val[0], val[-1], val)
+        assert val[-1] < 0.15, (val[0], val[-1], val)
 
 
 @pytest.mark.slow
