@@ -114,6 +114,52 @@ def render_scene(
             n[sel, a_i] = -np.sign(d[sel, a_i])
         return t, n
 
+    def hit_cylinder(center, radius, z0, z1):
+        """Vertical (z-axis) capped cylinder; center = (cx, cy)."""
+        cx, cy = float(center[0]), float(center[1])
+        ocx, ocy = o[0] - cx, o[1] - cy
+        a = d[..., 0] ** 2 + d[..., 1] ** 2
+        b = d[..., 0] * ocx + d[..., 1] * ocy
+        c = ocx**2 + ocy**2 - radius**2
+        with np.errstate(invalid="ignore", divide="ignore"):
+            disc = b**2 - a * c
+            hit_side = (disc > 0) & (a > 1e-12)
+            sqrt_disc = np.sqrt(np.where(hit_side, disc, 0.0))
+            t_side = np.where(hit_side, (-b - sqrt_disc) / np.where(a > 1e-12, a, 1.0), np.inf)
+        t_side = np.where(t_side > 1e-6, t_side, np.inf)
+        z_hit = o[2] + t_side * d[..., 2]
+        t_side = np.where((z_hit >= z0) & (z_hit <= z1), t_side, np.inf)
+
+        dz = d[..., 2]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t_caps = [
+                np.where(np.abs(dz) > 1e-9, (zc - o[2]) / dz, np.inf)
+                for zc in (z0, z1)
+            ]
+        t_cap = np.full((H, W), np.inf)
+        cap_sign = np.zeros((H, W))
+        for zc, tc in zip((z0, z1), t_caps):
+            tc = np.where(tc > 1e-6, tc, np.inf)
+            px_ = o[0] + tc * d[..., 0] - cx
+            py_ = o[1] + tc * d[..., 1] - cy
+            inside = px_**2 + py_**2 <= radius**2
+            tc = np.where(inside, tc, np.inf)
+            closer = tc < t_cap
+            t_cap = np.where(closer, tc, t_cap)
+            cap_sign = np.where(closer, -np.sign(dz), cap_sign)
+
+        t = np.minimum(t_side, t_cap)
+        side_hit = t_side <= t_cap
+        with np.errstate(invalid="ignore"):
+            pts = o + np.where(np.isfinite(t), t, 0.0)[..., None] * d
+            n_side = np.stack([pts[..., 0] - cx, pts[..., 1] - cy,
+                               np.zeros((H, W))], -1)
+            n_side /= np.maximum(np.linalg.norm(n_side, axis=-1, keepdims=True), 1e-9)
+        n_cap = np.zeros((H, W, 3))
+        n_cap[..., 2] = cap_sign
+        n = np.where(side_hit[..., None], n_side, n_cap)
+        return t, n
+
     t_best = np.full((H, W), np.inf)
     n_best = np.zeros((H, W, 3))
     kind = np.full((H, W), -1, np.int64)  # primitive index; -1 = none
@@ -122,6 +168,9 @@ def render_scene(
             t_p, n_p = hit_sphere(prim["center"], prim["radius"])
         elif prim["type"] == "box":
             t_p, n_p = hit_box(prim["min"], prim["max"])
+        elif prim["type"] == "cylinder":
+            t_p, n_p = hit_cylinder(prim["center"], prim["radius"],
+                                    prim["z0"], prim["z1"])
         else:
             raise ValueError(prim["type"])
         closer = t_p < t_best
@@ -160,17 +209,25 @@ def render_scene(
 
 def random_primitives(rng, family: str = "spheres", n_min: int = 1, n_max: int = 3):
     """Random scene content for a geometry family ('spheres' | 'boxes' |
-    'mixed'): primitives resting on/near the floor inside the ~3.2 m
-    volume the generator fuses."""
+    'cylinders' | 'mixed'): primitives resting on/near the floor inside the
+    ~3.2 m volume the generator fuses. 'mixed' cycles the three types."""
     prims = []
     n = int(rng.integers(n_min, n_max + 1))
     for i in range(n):
         cx, cy = rng.uniform(-0.9, 0.9, 2)
-        if family == "spheres" or (family == "mixed" and i % 2 == 0):
+        kind = family if family != "mixed" else \
+            ("spheres", "boxes", "cylinders")[i % 3]
+        if kind == "spheres":
             r = float(rng.uniform(0.2, 0.55))
             prims.append({"type": "sphere",
                           "center": (float(cx), float(cy), r + float(rng.uniform(0.0, 0.15))),
                           "radius": r})
+        elif kind == "cylinders":
+            r = float(rng.uniform(0.15, 0.45))
+            h = float(rng.uniform(0.3, 1.0))
+            prims.append({"type": "cylinder",
+                          "center": (float(cx), float(cy)),
+                          "radius": r, "z0": 0.0, "z1": h})
         else:
             sx, sy, sz = rng.uniform(0.25, 0.9, 3)
             prims.append({"type": "box",

@@ -1,7 +1,9 @@
 #!/usr/bin/env python3
 """Generate the multi-geometry synthetic dataset for the 4 cm quality drive
-(VERDICT round-2 next #5): N training scenes drawn from the sphere AND box
-families plus one held-out scene per family, fused at 4+8 cm.
+(VERDICT round-2 next #5): N training scenes cycled over the requested
+geometry families (spheres/boxes/cylinders) plus one held-out scene per
+family, fused at 4+8 cm. Default families preserve the round-3 benchmarked
+2-family protocol exactly (seed stream unchanged).
 
 Runs CPU-forced (scene generation is eager host work; on the axon platform
 it would dispatch per-op through the TPU tunnel).
@@ -32,14 +34,19 @@ def main(argv=None):
     parser.add_argument("--height", type=int, default=120)
     parser.add_argument("--width", type=int, default=160)
     parser.add_argument("--voxel-sizes", type=int, nargs="+", default=[4, 8])
+    parser.add_argument("--families", default="spheres,boxes",
+                        help="comma list of geometry families to cycle "
+                             "(spheres|boxes|cylinders); default preserves "
+                             "the round-3 benchmarked 2-family protocol")
     args = parser.parse_args(argv)
+    families = args.families.split(",")
 
     from gennerf_tpu.data.synthetic import generate_scene, random_primitives
 
     rng = np.random.default_rng(0)
     train_infos, val_infos = [], []
     for i in range(args.train):
-        family = "spheres" if i % 2 == 0 else "boxes"
+        family = families[i % len(families)]
         prims = random_primitives(rng, family)
         info = generate_scene(
             args.out, scene=f"scene_{family[:-1]}{i}", num_frames=args.frames,
@@ -48,12 +55,12 @@ def main(argv=None):
         )
         train_infos.append(os.path.relpath(info, args.out))
         print("train:", info, flush=True)
-    for family in ("spheres", "boxes"):
+    for fi, family in enumerate(families):
         prims = random_primitives(rng, family)
         info = generate_scene(
             args.out, scene=f"scene_heldout_{family[:-1]}", num_frames=args.frames,
             H=args.height, W=args.width, voxel_sizes=tuple(args.voxel_sizes),
-            primitives=prims, seed=100 + (family == "boxes"),
+            primitives=prims, seed=100 + fi,
         )
         val_infos.append(os.path.relpath(info, args.out))
         print("heldout:", info, flush=True)

@@ -428,3 +428,55 @@ class TestLoaderDeterminism:
             for ba, bb in zip(a, b) for k in ba if k in bb
         )
         assert diff
+
+
+class TestCylinderFamily:
+    """Third analytic geometry family: vertical capped cylinders."""
+
+    def test_cylinder_depth_analytic(self):
+        from gennerf_tpu.data.synthetic import look_at_pose, render_scene
+
+        H, W = 32, 32
+        K = np.array([[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]], np.float32)
+        # camera on +x axis at the cylinder's mid height: the center pixel
+        # ray hits the curved side at camera depth 2.0 - 0.3 = 1.7
+        pose = look_at_pose([2.0, 0, 0.4], [0, 0, 0.4])
+        prims = [{"type": "cylinder", "center": (0.0, 0.0), "radius": 0.3,
+                  "z0": 0.0, "z1": 0.8}]
+        d, _ = render_scene(H, W, K, pose, primitives=prims)
+        assert abs(float(d[H // 2, W // 2]) - 1.7) < 1e-3
+
+    def test_cylinder_top_cap(self):
+        from gennerf_tpu.data.synthetic import look_at_pose, render_scene
+
+        H, W = 32, 32
+        K = np.array([[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]], np.float32)
+        # camera straight above looking down: center ray hits the z1 cap
+        pose = look_at_pose([0.0, 1e-4, 2.5], [0, 0, 0.0])
+        prims = [{"type": "cylinder", "center": (0.0, 0.0), "radius": 0.3,
+                  "z0": 0.0, "z1": 0.8}]
+        d, _ = render_scene(H, W, K, pose, primitives=prims)
+        assert abs(float(d[H // 2, W // 2]) - (2.5 - 0.8)) < 1e-3
+
+    def test_cylinder_family_fuses_gt(self, tmp_path):
+        import json
+
+        from gennerf_tpu.data.synthetic import generate_scene, random_primitives
+
+        rng = np.random.default_rng(11)
+        prims = random_primitives(rng, "cylinders")
+        assert all(p["type"] == "cylinder" for p in prims)
+        info = generate_scene(str(tmp_path), scene="scene_cyl0", num_frames=6,
+                              H=32, W=40, voxel_sizes=(16,), primitives=prims)
+        meta = json.load(open(info))
+        from gennerf_tpu.tsdf import TSDF
+
+        v = np.asarray(TSDF.load(meta["file_name_vol_16"]).tsdf_vol)
+        assert (v < 0).any() and (v > 0).any()
+
+    def test_mixed_family_cycles_three_types(self):
+        from gennerf_tpu.data.synthetic import random_primitives
+
+        rng = np.random.default_rng(0)
+        prims = random_primitives(rng, "mixed", n_min=3, n_max=3)
+        assert {p["type"] for p in prims} == {"sphere", "box", "cylinder"}
