@@ -127,7 +127,8 @@ def render_scene(
             sqrt_disc = np.sqrt(np.where(hit_side, disc, 0.0))
             t_side = np.where(hit_side, (-b - sqrt_disc) / np.where(a > 1e-12, a, 1.0), np.inf)
         t_side = np.where(t_side > 1e-6, t_side, np.inf)
-        z_hit = o[2] + t_side * d[..., 2]
+        with np.errstate(invalid="ignore"):  # inf*0 -> NaN fails the band test
+            z_hit = o[2] + t_side * d[..., 2]
         t_side = np.where((z_hit >= z0) & (z_hit <= z1), t_side, np.inf)
 
         dz = d[..., 2]
@@ -140,9 +141,10 @@ def render_scene(
         cap_sign = np.zeros((H, W))
         for zc, tc in zip((z0, z1), t_caps):
             tc = np.where(tc > 1e-6, tc, np.inf)
-            px_ = o[0] + tc * d[..., 0] - cx
-            py_ = o[1] + tc * d[..., 1] - cy
-            inside = px_**2 + py_**2 <= radius**2
+            with np.errstate(invalid="ignore"):  # inf*0 -> NaN: not inside
+                px_ = o[0] + tc * d[..., 0] - cx
+                py_ = o[1] + tc * d[..., 1] - cy
+                inside = px_**2 + py_**2 <= radius**2
             tc = np.where(inside, tc, np.inf)
             closer = tc < t_cap
             t_cap = np.where(closer, tc, t_cap)
@@ -180,7 +182,8 @@ def render_scene(
 
     # floor
     dz = d[..., 2]
-    t_f = np.where(np.abs(dz) > 1e-9, (floor_z - o[2]) / dz, np.inf)
+    with np.errstate(divide="ignore"):  # dz==0 branch unused via where
+        t_f = np.where(np.abs(dz) > 1e-9, (floor_z - o[2]) / dz, np.inf)
     t_f = np.where(t_f > 1e-6, t_f, np.inf)
 
     t = np.minimum(t_best, t_f)
