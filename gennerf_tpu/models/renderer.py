@@ -71,11 +71,18 @@ def ray_march_tsdf(
     n_steps: int = 64,
     n_secant_steps: int = 8,
     n_fine_steps: int = 0,
+    convention: str = "fusion",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Find the first +->- TSDF crossing along each ray.
+    """Find the first outside->inside zero crossing along each ray.
 
-    The reference marches occupancy (UNISURF); for a TSDF field the surface
-    is the first positive-to-negative zero crossing (outside -> inside).
+    The reference marches occupancy (UNISURF: low outside, high inside,
+    renderer.py:215-323). This framework's OWN fields share that shape:
+    fused GT volumes store `clip((pz - depth)/trunc, min=-1)`
+    (tsdf/fusion.py:76, reference tsdf.py:404) — NEGATIVE in observed free
+    space, positive behind the surface — and trained decoders regress
+    exactly those targets. The default `convention="fusion"` therefore
+    finds the first - -> + crossing; pass `convention="sdf"` for classic
+    signed-distance fields (+ outside, - inside), e.g. analytic oracles.
 
     With `n_fine_steps > 0` the march is hierarchical: a coarse pass over
     `n_steps` samples brackets the crossing, then `n_fine_steps` samples
@@ -92,6 +99,13 @@ def ray_march_tsdf(
         depth (B, R) — crossing depth (0 where none found),
         mask (B, R) bool.
     """
+    if convention not in ("fusion", "sdf"):
+        raise ValueError(f"convention must be 'fusion' or 'sdf', got {convention!r}")
+    if convention == "fusion":
+        # negate once: the marched field is then + outside / - inside and
+        # the +->- crossing logic below applies to both conventions
+        raw_fn = tsdf_fn
+        tsdf_fn = lambda p: -raw_fn(p)  # noqa: E731
     B, R, _ = origins.shape
     ts = jnp.linspace(near, far, n_steps)  # (S,)
     pts = origins[:, :, None, :] + dirs[:, :, None, :] * ts[None, None, :, None]
@@ -146,7 +160,8 @@ class SurfaceRenderer:
     def __init__(self, decode_fn, near: float = 0.05, far: float = 4.0,
                  n_steps: int = 16, n_secant_steps: int = 4,
                  n_max_network_queries: int = 786432, tsdf_fn=None,
-                 n_fine_steps: int = 8, eval_chunk: int = 32768):
+                 n_fine_steps: int = 8, eval_chunk: int = 32768,
+                 convention: str = "fusion"):
         """Defaults are the round-3 TPU-tuned fast recipe (BENCH.md): a
         16-sample coarse march + 8-sample fine bracket refinement + 4
         secant iterations (the fine pass already brackets the crossing to
@@ -160,7 +175,11 @@ class SurfaceRenderer:
 
         `tsdf_fn` optionally overrides the march/secant field lookups
         with a custom forward-only evaluator ((B, N, 3) -> (B, N)). The
-        final per-ray feature lookup always uses `decode_fn`."""
+        final per-ray feature lookup always uses `decode_fn`.
+
+        `convention`: 'fusion' (default — trained decoders regress fused
+        GT, which is negative in free space; see ray_march_tsdf) or 'sdf'
+        for classic + outside fields."""
         self.decode_fn = decode_fn
         self.near = near
         self.far = far
@@ -170,6 +189,7 @@ class SurfaceRenderer:
         self._tsdf_fast = tsdf_fn
         self.n_fine_steps = n_fine_steps
         self.eval_chunk = eval_chunk
+        self.convention = convention
 
     def _tsdf(self, pts: jnp.ndarray) -> jnp.ndarray:
         if self._tsdf_fast is not None:
@@ -192,6 +212,7 @@ class SurfaceRenderer:
         depth, mask = ray_march_tsdf(
             self._tsdf, origins, dirs, self.near, self.far,
             self.n_steps, self.n_secant_steps, self.n_fine_steps,
+            convention=self.convention,
         )
         points = origins + dirs * depth[..., None]
         out = self.decode_fn(points)

@@ -1,0 +1,166 @@
+#!/usr/bin/env python3
+"""Drive the neural surface renderer on a TRAINED checkpoint.
+
+Loads a GenNerf checkpoint (best epoch when the run monitored a metric),
+encodes each scene of a split from its input frames, ray-marches the
+decoded TSDF field through SurfaceRenderer at the scene's own camera
+views, and scores the rendered z-depth against the GT depth maps
+(eval_depth: AbsRel/RMSE/delta<1.25^n/complete).
+
+This exercises the path the reference intended but never wired: its
+UNISURF renderer prototype (reference src/models/renderer.py:39-213)
+references undefined helpers and is reachable from no entry point; here
+the same capability runs end-to-end from a user-facing CLI.
+
+  python scripts/local/render_views.py --ckpt RUN/checkpoints \
+      --data-dir DIR --dataset val.txt --out OUT \
+      [--num-views 4] [--far 5.0] [--no-fused]
+
+Writes per-scene depth PNGs (pred vs GT, row-normalized) and a
+render_metrics.json with per-scene + mean metrics; prints the mean as
+one JSON line.
+"""
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt", required=True, help="checkpoints dir of a training run")
+    p.add_argument("--data-dir", required=True)
+    p.add_argument("--dataset", default="val.txt")
+    p.add_argument("--out", required=True)
+    p.add_argument("--num-views", type=int, default=4)
+    p.add_argument("--near", type=float, default=0.05)
+    p.add_argument("--far", type=float, default=5.0)
+    p.add_argument("--no-fused", action="store_true",
+                   help="skip the fused Pallas point-decode fast path")
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    from gennerf_tpu.data.datamodule import ScannetDataModule
+    from gennerf_tpu.eval.metrics import eval_depth
+    from gennerf_tpu.models import GenNerf
+    from gennerf_tpu.models.renderer import SurfaceRenderer, pixels_to_rays
+    from gennerf_tpu.train import CheckpointManager, get_logger, make_task
+    from gennerf_tpu.train.predict import make_point_tsdf_fn
+    from gennerf_tpu.utils.image import write_png
+
+    log = get_logger()
+    os.makedirs(args.out, exist_ok=True)
+
+    snap_path = os.path.join(args.ckpt, "config.json")
+    snap = json.load(open(snap_path))
+    model_cfg = snap["model"]
+    if model_cfg.get("type", "GenNerf") != "GenNerf":
+        raise SystemExit("render_views drives the GenNerf field renderer only")
+
+    data_cfg = dict(snap["data"])
+    data_cfg["data_dir"] = args.data_dir
+    data_cfg["datasets_test"] = [args.dataset]
+    data_cfg["batch_size"] = 1
+
+    precision = (snap.get("trainer") or {}).get("precision")
+    task = make_task(model_cfg, precision=precision)
+    model: GenNerf = task.model
+    cfg = task.cfg
+
+    datamodule = ScannetDataModule(data_cfg, seed=snap.get("seed") or 0)
+    loader = datamodule.test_dataloader()
+
+    first = next(iter(loader))
+    state = task.init_state(jax.random.PRNGKey(0), first)
+    ckpt_cfg = (snap.get("callbacks") or {}).get("model_checkpoint") or {}
+    mgr = CheckpointManager(
+        args.ckpt,
+        save_top_k=ckpt_cfg.get("save_top_k", -1),
+        monitor=ckpt_cfg.get("monitor"),
+        mode=ckpt_cfg.get("mode", "min"),
+    )
+    best = mgr.best_epoch()
+    state = mgr.restore_best(state) if best is not None else mgr.restore(state)
+    log.info(f"restored {'best epoch %s' % best if best is not None else 'latest'} "
+             f"from {args.ckpt}")
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    per_scene = {}
+    for batch in loader:
+        scene = batch["scene"][0]
+        proj = jnp.asarray(np.asarray(batch["projection"])[0:1])
+        image = jnp.asarray(np.asarray(batch["image"])[0:1])
+        depth_gt = np.asarray(batch["depth"])[0]  # (T, H, W)
+        intrinsics = np.asarray(batch["intrinsics"])[0]  # (T, 3, 3)
+        poses = np.asarray(batch["pose"])[0]  # (T, 4, 4)
+        T, H, W = depth_gt.shape
+
+        repr_, _ = model.apply(
+            variables, proj, image, jnp.asarray(depth_gt[None]),
+            jax.random.PRNGKey(0), tuple(cfg.voxel_dim_test), jnp.zeros(3),
+            train=False, method=GenNerf.encode, mutable=["batch_stats"],
+        )
+
+        def decode_fn(pts):
+            return model.apply(variables, repr_, pts, jnp.zeros(3),
+                               method=GenNerf.decode)
+
+        tsdf_fn = None
+        if not args.no_fused:
+            try:
+                tsdf_fn = make_point_tsdf_fn(model, variables, repr_, np.zeros(3))
+            except NotImplementedError as e:
+                log.info(f"fused point decode unavailable ({e}); XLA decode")
+        renderer = SurfaceRenderer(decode_fn, near=args.near, far=args.far,
+                                   tsdf_fn=tsdf_fn)
+
+        views = np.linspace(0, T - 1, min(args.num_views, T)).astype(int)
+        metrics_sum, n = {}, 0
+        for vi in views:
+            K = jnp.asarray(intrinsics[vi][None])
+            pose = jnp.asarray(poses[vi][None])
+            t_ray = np.asarray(renderer.render_depth_image(K, pose, H, W))[0]
+            # ray distance -> z-depth: t * (unit_dir . cam_forward); GT
+            # depth maps store z (reference data.py depth = png/1000 z)
+            hs, ws = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+            _, dirs = pixels_to_rays(
+                jnp.asarray(hs.reshape(1, -1), jnp.float32),
+                jnp.asarray(ws.reshape(1, -1), jnp.float32), K, pose,
+            )
+            fwd = poses[vi][:3, 2]
+            cosang = np.asarray(dirs)[0] @ fwd  # (H*W,)
+            z = t_ray * cosang.reshape(H, W)
+            m = eval_depth(z, depth_gt[vi])
+            for k, v in m.items():
+                metrics_sum[k] = metrics_sum.get(k, 0.0) + v
+            n += 1
+            # side-by-side normalized depth PNG (pred | GT)
+            vmax = max(float(depth_gt[vi].max()), 1e-6)
+            panel = np.concatenate([np.clip(z, 0, vmax), depth_gt[vi]], axis=1)
+            write_png(os.path.join(args.out, f"{scene}_view{vi:03d}.png"),
+                      (panel / vmax * 255).astype(np.uint8))
+        per_scene[scene] = {k: v / max(n, 1) for k, v in metrics_sum.items()}
+        log.info(f"{scene}: " + json.dumps(per_scene[scene]))
+
+    mean = {k: float(np.mean([s[k] for s in per_scene.values()]))
+            for k in next(iter(per_scene.values()))}
+    with open(os.path.join(args.out, "render_metrics.json"), "w") as f:
+        json.dump({"per_scene": per_scene, "mean": mean}, f, indent=2)
+    print(json.dumps({"renderer_depth_mean": mean}))
+    return mean
+
+
+if __name__ == "__main__":
+    main()

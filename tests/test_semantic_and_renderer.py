@@ -97,9 +97,39 @@ class TestSurfaceRenderer:
         angles = jnp.linspace(-0.15, 0.15, R)
         dirs = jnp.stack([jnp.sin(angles), jnp.zeros(R), jnp.cos(angles)], -1)[None]
         depth, mask = ray_march_tsdf(tsdf_fn, origins, dirs, near=0.1, far=4.0,
-                                     n_steps=64, n_secant_steps=8)
+                                     n_steps=64, n_secant_steps=8,
+                                     convention="sdf")
         assert np.asarray(mask).all()
         # closed form: |o + t d| = r with |d|=1
+        o = np.asarray(origins)[0, 0]
+        for i in range(R):
+            d = np.asarray(dirs)[0, i]
+            b = np.dot(o, d)
+            t_true = -b - np.sqrt(b**2 - (np.dot(o, o) - radius**2))
+            assert abs(float(depth[0, i]) - t_true) < 2e-3
+
+    def test_ray_march_fusion_convention_default(self):
+        """DEFAULT convention marches fields shaped like the framework's
+        own fused GT (tsdf/fusion.py:76: negative in observed free space,
+        positive behind the surface) — what every trained decoder
+        regresses. A fused-convention sphere must yield the same analytic
+        depths the 'sdf' test gets from the classic field; this is the
+        trained-checkpoint rendering path (a +->- march on these fields
+        locks onto back-faces/hallucinated margins instead of the
+        surface)."""
+        center = jnp.array([0.0, 0.0, 0.0])
+        radius = 0.5
+
+        def fused_fn(pts):  # fusion convention: r - |p - c|
+            return radius - jnp.linalg.norm(pts - center, axis=-1)
+
+        B, R = 1, 8
+        origins = jnp.tile(jnp.array([[0.0, 0.0, -2.0]]), (B, R, 1))
+        angles = jnp.linspace(-0.15, 0.15, R)
+        dirs = jnp.stack([jnp.sin(angles), jnp.zeros(R), jnp.cos(angles)], -1)[None]
+        depth, mask = ray_march_tsdf(fused_fn, origins, dirs, near=0.1, far=4.0,
+                                     n_steps=64, n_secant_steps=8)
+        assert np.asarray(mask).all()
         o = np.asarray(origins)[0, 0]
         for i in range(R):
             d = np.asarray(dirs)[0, i]
@@ -113,7 +143,7 @@ class TestSurfaceRenderer:
 
         origins = jnp.array([[[0.0, 2.0, -2.0]]])  # ray passes far from sphere
         dirs = jnp.array([[[0.0, 0.0, 1.0]]])
-        depth, mask = ray_march_tsdf(tsdf_fn, origins, dirs)
+        depth, mask = ray_march_tsdf(tsdf_fn, origins, dirs, convention="sdf")
         assert not bool(mask[0, 0])
         assert float(depth[0, 0]) == 0.0
 
@@ -123,7 +153,8 @@ class TestSurfaceRenderer:
             feat = jnp.stack([pts[..., 0], pts[..., 1]], axis=-1)
             return {"tsdf": tsdf, "feat_sem": feat}
 
-        renderer = SurfaceRenderer(decode_fn, near=0.1, far=5.0, n_steps=64)
+        renderer = SurfaceRenderer(decode_fn, near=0.1, far=5.0, n_steps=64,
+                                   convention="sdf")
         K = jnp.asarray(np.array([[[40.0, 0, 16], [0, 40.0, 12], [0, 0, 1]]], np.float32))
         pose = jnp.asarray(np.eye(4, dtype=np.float32)[None])
         pose = pose.at[0, 2, 3].set(-2.0)  # camera at z=-2 looking +z
@@ -147,9 +178,9 @@ class TestSurfaceRenderer:
         pose = pose.at[0, 2, 3].set(-2.0)
         H, W = 24, 32
         big = SurfaceRenderer(decode_fn, near=0.1, far=5.0, n_steps=16,
-                              n_max_network_queries=1 << 20)
+                              n_max_network_queries=1 << 20, convention="sdf")
         small = SurfaceRenderer(decode_fn, near=0.1, far=5.0, n_steps=16,
-                                n_max_network_queries=16 * 100)  # 100-px chunks (ragged tail)
+                                n_max_network_queries=16 * 100, convention="sdf")  # 100-px chunks (ragged tail)
         d_big = big.render_depth_image(K, pose, H, W)
         d_small = small.render_depth_image(K, pose, H, W)
         assert d_big.shape == (1, H, W)
@@ -173,7 +204,7 @@ class TestHierarchicalMarch:
         dirs = jnp.stack([jnp.sin(angles), jnp.zeros(R), jnp.cos(angles)], -1)[None]
         depth, mask = ray_march_tsdf(tsdf_fn, origins, dirs, near=0.1, far=4.0,
                                      n_steps=24, n_secant_steps=8,
-                                     n_fine_steps=8)
+                                     n_fine_steps=8, convention="sdf")
         assert np.asarray(mask).all()
         o = np.asarray(origins)[0, 0]
         for i in range(R):
@@ -189,8 +220,9 @@ class TestHierarchicalMarch:
         origins = jnp.array([[[0.0, 0.2, -2.0]]])
         dirs = jnp.array([[[0.0, 0.0, 1.0]]])
         d_uni, m_uni = ray_march_tsdf(tsdf_fn, origins, dirs, n_steps=64,
-                                      n_secant_steps=8)
+                                      n_secant_steps=8, convention="sdf")
         d_hier, m_hier = ray_march_tsdf(tsdf_fn, origins, dirs, n_steps=24,
-                                        n_secant_steps=8, n_fine_steps=8)
+                                        n_secant_steps=8, n_fine_steps=8,
+                                        convention="sdf")
         assert bool(m_uni[0, 0]) == bool(m_hier[0, 0]) == True
         assert abs(float(d_uni[0, 0]) - float(d_hier[0, 0])) < 1e-3
