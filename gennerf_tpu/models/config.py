@@ -163,11 +163,33 @@ class FeatureLossConfig:
 
 @dataclasses.dataclass(frozen=True)
 class DistillLossConfig:
-    """Semantic distillation of e_sem toward 2D teacher features rendered at
-    surface points (the reference's intended-but-stubbed VLM path)."""
+    """Semantic distillation of e_sem toward 2D teacher features (the
+    reference's intended-but-stubbed VLM path, model.py:32).
+
+    mode='surface' supervises e_sem at the depth-backprojected surface
+    samples the TSDF loss already visits. mode='render' is the reference's
+    aspirational design (its UNISURF renderer prototype, renderer.py:39-213,
+    was built for exactly this and never wired): rays are marched through
+    the CURRENT decoded TSDF field inside the train step, e_sem is decoded
+    at the marched surface crossings (geometry stop-gradient, UNISURF-style
+    appearance-at-fixed-geometry), and supervised by the teacher at the
+    corresponding pixels — masked to rays that hit a crossing AND have
+    valid GT depth. Render mode assumes the geometry is anchored by an
+    active TSDF/iSDF term: with nothing holding the field, the shared
+    trunk can reduce the masked loss by erasing its own ray crossings
+    (hit-mask attrition), since the mask is non-differentiable by
+    design."""
 
     weight: float = 1.0
     metric: str = "cosine"  # 'cosine' | 'l2'
+    mode: str = "surface"  # 'surface' | 'render'
+    # render-mode march budget (per frame; renderer-default hierarchy)
+    render_rays: int = 32
+    render_steps: int = 16
+    render_fine: int = 8
+    render_secant: int = 4
+    render_near: float = 0.05
+    render_far: float = 5.0
 
 
 @dataclasses.dataclass(frozen=True)

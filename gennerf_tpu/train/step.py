@@ -181,11 +181,8 @@ def gen_nerf_forward_loss(
         targets_bt["grad_vec"] = sup["grad_vec"]
 
     # semantic distillation toward the 2D teacher at surface samples
-    if (
-        cfg.loss.use_distill
-        and model.teacher is not None
-        and cfg.sampling_mode == "ray"
-    ):
+    distill_on = cfg.loss.use_distill and model.teacher is not None
+    if distill_on and cfg.loss.distill.mode == "surface" and cfg.sampling_mode == "ray":
         from ..models.teacher import sample_teacher_features
 
         H, W = batch["image"].shape[-2:]
@@ -199,6 +196,59 @@ def gen_nerf_forward_loss(
         outputs_bt["feat_sem_surface"] = outputs["feat_sem"].reshape(
             BT, cfg.ray.num_rays, S_ray, -1
         )[:, :, 0]
+    elif distill_on and cfg.loss.distill.mode == "render":
+        # render-based distillation (the reference's aspirational design —
+        # its UNISURF renderer prototype was built for this and never
+        # wired, renderer.py:39-213): march rays through the CURRENT
+        # decoded TSDF field, decode e_sem at the marched crossings, and
+        # supervise with the teacher at those pixels. Geometry is
+        # stop-gradient (UNISURF appearance-at-fixed-geometry); the TSDF
+        # terms keep owning the geometry. Works under any sampling_mode.
+        from ..models.renderer import pixels_to_rays, ray_march_tsdf
+        from ..models.teacher import sample_teacher_features
+
+        dcfg = cfg.loss.distill
+        H, W = batch["image"].shape[-2:]
+        depth_bt = batch["depth"].reshape(BT, H, W)
+        intr_bt = batch["intrinsics"].reshape(BT, 3, 3)
+        pose_bt = batch["pose"].reshape(BT, 4, 4)
+        images_bt = batch["image"].reshape(BT, 3, H, W)
+
+        k_render = jax.random.fold_in(k_sample, 7)
+        Rr = dcfg.render_rays
+        # rays through pixels with valid GT depth: a surface demonstrably
+        # exists along them, so hit-mask attrition stays low
+        _, h_r, w_r, ok_r = ops.sample_valid_depth_pixels(k_render, depth_bt, Rr)
+        origins, dirs = pixels_to_rays(
+            h_r.astype(jnp.float32), w_r.astype(jnp.float32), intr_bt, pose_bt
+        )  # (BT, Rr, 3)
+
+        def field_fn(p):  # (B, N, 3) -> (B, N); forward-only march lookups
+            return model.apply(variables, repr_, p, origin, method=GenNerf.decode)[
+                "tsdf"
+            ][..., 0]
+
+        depth_r, hit = ray_march_tsdf(
+            field_fn,
+            origins.reshape(B, T * Rr, 3),
+            dirs.reshape(B, T * Rr, 3),
+            near=dcfg.render_near,
+            far=dcfg.render_far,
+            n_steps=dcfg.render_steps,
+            n_secant_steps=dcfg.render_secant,
+            n_fine_steps=dcfg.render_fine,
+            convention="fusion",
+        )
+        depth_r = jax.lax.stop_gradient(depth_r)  # (B, T*Rr)
+        pts_r = origins.reshape(B, T * Rr, 3) + dirs.reshape(B, T * Rr, 3) * depth_r[..., None]
+        out_r = model.apply(variables, repr_, pts_r, origin, method=GenNerf.decode)
+        outputs_bt["feat_sem_surface"] = out_r["feat_sem"].reshape(BT, Rr, -1)
+
+        tmap = model.teacher(images_bt)  # (BT, C, H', W')
+        targets_bt["teacher_feat"] = sample_teacher_features(tmap, h_r, w_r, (H, W))
+        targets_bt["teacher_mask"] = (
+            ok_r & hit.reshape(BT, Rr)
+        )[..., None].astype(jnp.float32)
 
     combined, losses = calculate_loss(
         cfg.loss, outputs_bt, targets_bt, num_rays=cfg.ray.num_rays

@@ -81,6 +81,206 @@ class TestDistillTraining:
         assert float(metrics["distill"]) < d0
 
 
+class TestRenderDistillTraining:
+    def _cfg(self, sampling_mode="ray"):
+        return {
+            "type": "GenNerf", "voxel_size": 0.08,
+            "voxel_dim_train": [16, 16, 8], "voxel_dim_val": [16, 16, 8],
+            "voxel_dim_test": [16, 16, 8],
+            "sampling_mode": sampling_mode,
+            "encoder": {"use_spatial": False, "use_pointnet": True,
+                        "pointnet": {"num_sparse_points": 64, "c_dim": 16,
+                                     "hidden_dim": 16, "plane_resolution": 16,
+                                     "n_blocks": 2, "unet": False,
+                                     "normalize_coords": True}},
+            "mlp": {"d_out_sem": 16, "d_out_geo": 8, "n_blocks": 2, "d_hidden": 32},
+            "ray": {"num_rays": 16, "N": 4, "M": 2, "d_min": 0.07, "delta": 0.1, "sigma": 0.1},
+            "frustum": {"N_free": 8, "N_near": 4, "N_surf": 4, "d_min": 0.1,
+                        "d_max": 2.0, "sigma": 0.05},
+            "teacher": {"type": "random_projection", "feature_dim": 16, "patch": 4, "stride": 4},
+            "loss": {"use_tsdf": True, "use_distill": True,
+                     "distill": {"weight": 1.0, "metric": "cosine",
+                                 "mode": "render", "render_rays": 16,
+                                 "render_steps": 16, "render_fine": 4,
+                                 "render_secant": 2, "render_far": 3.0}},
+        }
+
+    def _batch(self, rng, B=1, T=2, H=16, W=20):
+        # fusion-convention sphere GT (positive inside, negative free
+        # space), placed INSIDE the camera cone of the identity pose so
+        # marched rays cross it: center rays (fx=20, pixels up to 16x20)
+        # cover xy in [0, ~0.4] at z=0.4
+        nx, ny, nz, vs = 16, 16, 8, 0.08
+        xs, ys, zs = np.meshgrid(
+            np.arange(nx) * vs, np.arange(ny) * vs, np.arange(nz) * vs, indexing="ij"
+        )
+        c, r = np.array([0.2, 0.15, 0.4]), 0.2
+        d = np.sqrt((xs - c[0]) ** 2 + (ys - c[1]) ** 2 + (zs - c[2]) ** 2)
+        vol = np.clip((r - d) / (3 * vs), -1, 1).astype(np.float32)[None, None]
+        batch = {
+            "projection": rng.standard_normal((B, T, 3, 4)).astype(np.float32),
+            "image": rng.standard_normal((B, T, 3, H, W)).astype(np.float32),
+            "depth": (rng.random((B, T, H, W)) + 0.5).astype(np.float32),
+            "pose": np.tile(np.eye(4, dtype=np.float32), (B, T, 1, 1)),
+            "intrinsics": np.tile((np.eye(3) * 20).astype(np.float32), (B, T, 1, 1)),
+            "vol_08_tsdf": np.tile(vol, (B, 1, 1, 1, 1)),
+        }
+        batch["projection"][:, :, 2, 2] = 1.0
+        return batch
+
+    def test_render_distill_engages(self, rng):
+        """mode='render': rays marched through the live decoded field inside
+        the train step; hit rays produce a strictly positive masked cosine
+        term (the reference's intended UNISURF distillation path,
+        renderer.py:39-213)."""
+        from gennerf_tpu.train.tasks import GenNerfTask
+
+        task = GenNerfTask(self._cfg())
+        batch = self._batch(rng)
+        state = task.init_state(jax.random.PRNGKey(0), batch)
+        state, metrics = task.run_train_step(state, batch, jax.random.PRNGKey(10))
+        assert "distill" in metrics
+        d0 = float(metrics["distill"])
+        assert np.isfinite(d0)
+        # the init field (normalize_coords) crosses zero along cone rays:
+        # some rays hit, so the masked cosine term engages
+        assert d0 > 0.0
+        # per-frame sums over T=2 of a loss in [0, 2] -> bounded by 2*T
+        assert d0 <= 4.0
+
+    def test_rendered_feature_alignment_at_fixed_geometry(self, rng):
+        """The distillation objective is descended by its autograd gradient
+        at FROZEN marched points (the stop-gradient contract: geometry is
+        held, e_sem aligns toward the teacher at the rendered pixels). The
+        live-march loop re-renders every step, so the end-to-end trajectory
+        is not a descent curve by construction (UNISURF semantics); this
+        pins the alignment mechanics."""
+        import optax
+
+        from gennerf_tpu.models.gen_nerf import GenNerf
+        from gennerf_tpu.models.renderer import pixels_to_rays, ray_march_tsdf
+        from gennerf_tpu.models.teacher import sample_teacher_features
+        from gennerf_tpu.train import step as step_mod
+        from gennerf_tpu.train.tasks import GenNerfTask
+
+        task = GenNerfTask(self._cfg())
+        batch = {k: jnp.asarray(v) for k, v in self._batch(rng).items()}
+        state = task.init_state(jax.random.PRNGKey(0), batch)
+        model, cfg = task.model, task.cfg
+        B, T = batch["image"].shape[:2]
+        BT = B * T
+        H, W = batch["image"].shape[-2:]
+        origin = jnp.zeros(3, jnp.float32)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        # derive the SAME keys the train step uses for PRNGKey(10) (which
+        # test_render_distill_engages proves yields hit rays at init)
+        k_enc, k_sample = jax.random.split(jax.random.PRNGKey(10))
+        repr_, _ = model.apply(
+            variables, batch["projection"], batch["image"], batch["depth"],
+            k_enc, tuple(cfg.voxel_dim_train), origin,
+            train=False, method=GenNerf.encode, mutable=["batch_stats"],
+        )
+        # march ONCE at init params -> frozen surface points + targets
+        from gennerf_tpu import ops
+
+        dcfg = cfg.loss.distill
+        depth_bt = batch["depth"].reshape(BT, H, W)
+        _, h_r, w_r, ok_r = ops.sample_valid_depth_pixels(
+            jax.random.fold_in(k_sample, 7), depth_bt, dcfg.render_rays
+        )
+        origins, dirs = pixels_to_rays(
+            h_r.astype(jnp.float32), w_r.astype(jnp.float32),
+            batch["intrinsics"].reshape(BT, 3, 3), batch["pose"].reshape(BT, 4, 4),
+        )
+
+        def field_fn(p):
+            return model.apply(variables, repr_, p, origin, method=GenNerf.decode)["tsdf"][..., 0]
+
+        depth_r, hit = ray_march_tsdf(
+            field_fn, origins.reshape(B, -1, 3), dirs.reshape(B, -1, 3),
+            near=dcfg.render_near, far=dcfg.render_far, n_steps=dcfg.render_steps,
+            n_secant_steps=dcfg.render_secant, n_fine_steps=dcfg.render_fine,
+        )
+        assert bool(hit.any()), "no ray hit the init field - fixture broken"
+        pts_r = origins.reshape(B, -1, 3) + dirs.reshape(B, -1, 3) * depth_r[..., None]
+        tmap = model.teacher(batch["image"].reshape(BT, 3, H, W))
+        trgt = sample_teacher_features(tmap, h_r, w_r, (H, W))
+        mask = (ok_r & hit.reshape(BT, -1))[..., None].astype(jnp.float32)
+
+        def loss_fn(params):
+            out = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                repr_, pts_r, origin, method=GenNerf.decode,
+            )
+            pred = out["feat_sem"].reshape(BT, dcfg.render_rays, -1)
+            num = (pred * trgt).sum(-1, keepdims=True)
+            den = jnp.maximum(
+                jnp.linalg.norm(pred, axis=-1, keepdims=True)
+                * jnp.linalg.norm(trgt, axis=-1, keepdims=True), 1e-6)
+            m = (1.0 - num / den) * mask
+            return m.sum() / jnp.maximum(mask.sum(), 1.0)
+
+        tx = optax.adam(1e-3)
+        params = state.params
+        opt_state = tx.init(params)
+        l0 = float(loss_fn(params))
+        step_jit = jax.jit(
+            lambda p, o: (lambda g: tx.update(g, o, p))(jax.grad(loss_fn)(p))
+        )
+        for _ in range(20):
+            updates, opt_state = step_jit(params, opt_state)
+            params = optax.apply_updates(params, updates)
+        l1 = float(loss_fn(params))
+        assert l1 < l0, (l0, l1)
+
+    def test_render_distill_works_under_frustum_sampling(self, rng):
+        """Surface-mode distillation requires ray sampling; render mode does
+        its own pixel sampling and must run under frustum supervision too."""
+        from gennerf_tpu.train.tasks import GenNerfTask
+
+        task = GenNerfTask(self._cfg(sampling_mode="frustum"))
+        batch = self._batch(rng)
+        state = task.init_state(jax.random.PRNGKey(0), batch)
+        state, metrics = task.run_train_step(state, batch, jax.random.PRNGKey(1))
+        assert "distill" in metrics
+        assert np.isfinite(float(metrics["distill"]))
+
+    def test_geometry_is_stop_gradient(self, rng):
+        """The render-distill term must move the semantic head but leave the
+        geometry head untouched when it is the ONLY loss (UNISURF
+        appearance-at-fixed-geometry: no gradient through the march)."""
+        import jax as _jax
+
+        from gennerf_tpu.train.tasks import GenNerfTask
+
+        cfg = self._cfg()
+        # zero-weight (not disabled: calculate_loss requires a tsdf/isdf
+        # term) so ONLY the distill gradient moves parameters
+        cfg["loss"]["tsdf"] = {"weight": 0.0}
+        task = GenNerfTask(cfg)
+        batch = self._batch(rng)
+        state = task.init_state(_jax.random.PRNGKey(0), batch)
+        new_state, metrics = task.run_train_step(state, batch, _jax.random.PRNGKey(1))
+        flat0 = _jax.tree_util.tree_leaves_with_path(state.params)
+        flat1 = {
+            _jax.tree_util.keystr(p): l
+            for p, l in _jax.tree_util.tree_leaves_with_path(new_state.params)
+        }
+        moved, head_geo = [], []
+        for path, leaf in flat0:
+            name = _jax.tree_util.keystr(path)
+            delta = float(jnp.abs(flat1[name] - leaf).max())
+            if "head_geo" in name:
+                head_geo.append((name, delta))
+            else:
+                moved.append((name, delta))
+        # the shared MLP / encoder must receive gradient through feat_sem...
+        assert moved and any(d > 0 for _, d in moved), "no parameter moved"
+        # ...but the TSDF head must not: its only consumers are the march
+        # (stop-gradient) and the disabled tsdf loss
+        assert head_geo and all(d == 0 for _, d in head_geo), head_geo
+
+
 class TestSurfaceRenderer:
     def test_ray_march_analytic_sphere(self):
         """March rays against an analytic sphere SDF; depths must match the
