@@ -100,7 +100,14 @@ def main(argv=None):
     parser.add_argument("--data-dir", default=None)
     parser.add_argument("--num-frames", type=int, default=-1)
     parser.add_argument("--max-depth", type=float, default=10.0)
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (the registered "
+                        "accelerator plugin is otherwise always used)")
     args = parser.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     info_files = parse_splits_list(args.dataset, args.data_dir)
     all_metrics = []

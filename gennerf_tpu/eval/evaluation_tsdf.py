@@ -42,7 +42,14 @@ def main(argv=None):
         "--align", action="store_true",
         help="world-align pred to the target grid even at equal shapes "
         "(default preserves the reference's direct voxel compare)")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (the registered "
+                        "accelerator plugin is otherwise always used)")
     args = parser.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     out = []
     for info_file in parse_splits_list(args.dataset, args.data_dir):
         m = process(info_file, args.results, align=args.align)

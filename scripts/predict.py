@@ -110,6 +110,19 @@ def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     config_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "configs")
     cfg = compose(config_dir, "predict", argv)
+    # honor trainer.accelerator like the train entry (reference predict
+    # shares the trainer config group, src/predict.py:70-80): without this
+    # the registered TPU plugin is always used, so trainer=cpu inference
+    # (e.g. on a host without the accelerator) was impossible
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "_gennerf_train_entry",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "train.py"),
+    )
+    train_entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(train_entry)
+    train_entry.select_platform(cfg.get("trainer", {}) or {})
     return predict(cfg)
 
 
