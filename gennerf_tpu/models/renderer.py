@@ -247,3 +247,41 @@ class SurfaceRenderer:
         depth = jax.lax.map(do_chunk, (hp, wp))  # (n_chunks, B, chunk)
         depth = depth.transpose(1, 0, 2).reshape(B, -1)[:, :n]
         return depth.reshape(B, height, width)
+
+    def render_feature_image(self, intrinsics, pose, height: int, width: int,
+                             feature_key: str = "feat_sem"):
+        """Render a full image of surface features (the reference's intended
+        use of its renderer: 2D maps of the distilled semantic field,
+        renderer.py:39-213). Same chunking scheme as render_depth_image.
+
+        Returns (depth (B, H, W), mask (B, H, W) bool, feats (B, H, W, C));
+        features are 0 on rays with no surface crossing."""
+        B = intrinsics.shape[0]
+        n = height * width
+        hs, ws = jnp.meshgrid(jnp.arange(height), jnp.arange(width), indexing="ij")
+        h = jnp.broadcast_to(hs.reshape(1, -1), (B, n))
+        w = jnp.broadcast_to(ws.reshape(1, -1), (B, n))
+        chunk = max(1, min(self.n_max_network_queries // max(self.n_steps, 1), n))
+        if chunk >= n:
+            r = self.render_pixels(h, w, intrinsics, pose, feature_key=feature_key)
+            C = r.features.shape[-1]
+            return (r.depth.reshape(B, height, width),
+                    r.mask.reshape(B, height, width),
+                    r.features.reshape(B, height, width, C))
+        pad = (-n) % chunk
+        hp = jnp.pad(h, ((0, 0), (0, pad))).reshape(B, -1, chunk).transpose(1, 0, 2)
+        wp = jnp.pad(w, ((0, 0), (0, pad))).reshape(B, -1, chunk).transpose(1, 0, 2)
+
+        def do_chunk(hw):
+            hc, wc = hw
+            r = self.render_pixels(hc, wc, intrinsics, pose, feature_key=feature_key)
+            return r.depth, r.mask, r.features
+
+        depth, mask, feats = jax.lax.map(do_chunk, (hp, wp))
+        C = feats.shape[-1]
+        depth = depth.transpose(1, 0, 2).reshape(B, -1)[:, :n]
+        mask = mask.transpose(1, 0, 2).reshape(B, -1)[:, :n]
+        feats = feats.transpose(1, 0, 2, 3).reshape(B, -1, C)[:, :n]
+        return (depth.reshape(B, height, width),
+                mask.reshape(B, height, width),
+                feats.reshape(B, height, width, C))

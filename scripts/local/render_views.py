@@ -42,6 +42,10 @@ def main(argv=None):
     p.add_argument("--far", type=float, default=5.0)
     p.add_argument("--no-fused", action="store_true",
                    help="skip the fused Pallas point-decode fast path")
+    p.add_argument("--features", action="store_true",
+                   help="also render the semantic feature field per view "
+                   "(PCA of e_sem at the marched surface -> RGB PNG) — the "
+                   "2D feature maps the reference's renderer was built for")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
 
@@ -151,6 +155,22 @@ def main(argv=None):
             panel = np.concatenate([np.clip(z, 0, vmax), depth_gt[vi]], axis=1)
             write_png(os.path.join(args.out, f"{scene}_view{vi:03d}.png"),
                       (panel / vmax * 255).astype(np.uint8))
+            if args.features:
+                _, fmask, feats = renderer.render_feature_image(K, pose, H, W)
+                fmask = np.asarray(fmask)[0]
+                feats = np.asarray(feats)[0]  # (H, W, C)
+                rgb = np.zeros((H, W, 3), np.uint8)
+                hit = feats[fmask]  # (n_hit, C)
+                if hit.shape[0] >= 3:
+                    # PCA over hit pixels -> 3 principal channels -> RGB
+                    centered = hit - hit.mean(0)
+                    _, _, vt = np.linalg.svd(centered, full_matrices=False)
+                    proj3 = centered @ vt[:3].T  # (n_hit, 3)
+                    lo, hi = proj3.min(0), proj3.max(0)
+                    rgb[fmask] = (
+                        (proj3 - lo) / np.maximum(hi - lo, 1e-9) * 255
+                    ).astype(np.uint8)
+                write_png(os.path.join(args.out, f"{scene}_view{vi:03d}_feat.png"), rgb)
         per_scene[scene] = {k: v / max(n, 1) for k, v in metrics_sum.items()}
         log.info(f"{scene}: " + json.dumps(per_scene[scene]))
 

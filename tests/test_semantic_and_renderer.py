@@ -387,6 +387,45 @@ class TestSurfaceRenderer:
         np.testing.assert_allclose(np.asarray(d_small), np.asarray(d_big), atol=1e-6)
         assert (np.asarray(d_big) > 0).any()
 
+    def test_render_feature_image(self):
+        """Full-image feature rendering: chunked == single-shot, features at
+        hit pixels equal the decode at the surface point (here (x, y) of the
+        sphere hit), and are 0 on missed rays."""
+        def decode_fn(pts):
+            tsdf = (jnp.linalg.norm(pts, axis=-1) - 0.5)[..., None]
+            feat = jnp.stack([pts[..., 0], pts[..., 1]], axis=-1)
+            return {"tsdf": tsdf, "feat_sem": feat}
+
+        K = jnp.asarray(np.array([[[40.0, 0, 16], [0, 40.0, 12], [0, 0, 1]]], np.float32))
+        pose = jnp.asarray(np.eye(4, dtype=np.float32)[None])
+        pose = pose.at[0, 2, 3].set(-2.0)
+        H, W = 24, 32
+        big = SurfaceRenderer(decode_fn, near=0.1, far=5.0, n_steps=16,
+                              n_max_network_queries=1 << 20, convention="sdf")
+        small = SurfaceRenderer(decode_fn, near=0.1, far=5.0, n_steps=16,
+                                n_max_network_queries=16 * 100, convention="sdf")
+        db, mb, fb = big.render_feature_image(K, pose, H, W)
+        ds, ms, fs = small.render_feature_image(K, pose, H, W)
+        assert fb.shape == (1, H, W, 2) and mb.shape == (1, H, W)
+        np.testing.assert_allclose(np.asarray(fs), np.asarray(fb), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(ms), np.asarray(mb))
+        mb_np, db_np, fb_np = np.asarray(mb[0]), np.asarray(db[0]), np.asarray(fb[0])
+        assert mb_np.any() and (~mb_np).any()
+        # missed rays carry zero features
+        assert np.all(fb_np[~mb_np] == 0.0)
+        # the center pixel hits the sphere front pole: surface (x, y) ~ (0, 0)
+        assert mb_np[12, 16]
+        assert np.all(np.abs(fb_np[12, 16]) < 5e-3)
+        # feature == decode at the surface point for every hit pixel
+        hs, ws = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+        from gennerf_tpu.models.renderer import pixels_to_rays
+
+        o, d = pixels_to_rays(
+            jnp.asarray(hs.reshape(1, -1), jnp.float32),
+            jnp.asarray(ws.reshape(1, -1), jnp.float32), K, pose)
+        pts = np.asarray(o + d * db.reshape(1, -1, 1))[0].reshape(H, W, 3)
+        np.testing.assert_allclose(fb_np[mb_np], pts[mb_np][:, :2], atol=1e-5)
+
 
 class TestHierarchicalMarch:
     def test_sphere_depth_matches_closed_form(self):
