@@ -17,12 +17,20 @@ import jax
 import jax.numpy as jnp
 
 
+def _norm_dtype(compute_dtype) -> jnp.dtype:
+    """Norm compute dtype: f32 floor under mixed precision (bf16 stats are
+    numerically unsafe), but f64 stays f64 so full-precision parity runs
+    (scripts/local/trained_parity*.py) are not silently truncated."""
+    return jnp.float64 if compute_dtype == jnp.float64 else jnp.float32
+
+
 class _Norm3d(nn.Module):
     """'BN' | 'nnSyncBN' | 'GN' | '' over channels-last 3D tensors."""
 
     norm: str = "BN"
     axis_name: Optional[str] = None
     zero_init: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -31,11 +39,12 @@ class _Norm3d(nn.Module):
             return nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 axis_name=self.axis_name if self.norm == "nnSyncBN" else None,
-                scale_init=scale_init, dtype=jnp.float32,
+                scale_init=scale_init, dtype=_norm_dtype(self.dtype),
             )(x)
         if self.norm == "GN":
             groups = min(32, x.shape[-1])
-            return nn.GroupNorm(num_groups=groups, scale_init=scale_init, dtype=jnp.float32)(x)
+            return nn.GroupNorm(num_groups=groups, scale_init=scale_init,
+                                dtype=_norm_dtype(self.dtype))(x)
         if self.norm == "":
             return x
         raise ValueError(self.norm)
@@ -56,12 +65,12 @@ class BasicBlock3d(nn.Module):
     def __call__(self, x, train: bool = False):
         identity = x
         out = nn.Conv(self.planes, (3, 3, 3), strides=self.stride, padding=1, use_bias=False, dtype=self.dtype, name="conv1")(x)
-        out = _Norm3d(self.norm, self.axis_name, name="bn1")(out, train)
+        out = _Norm3d(self.norm, self.axis_name, dtype=self.dtype, name="bn1")(out, train)
         if self.drop > 0:
             out = nn.Dropout(self.drop, deterministic=not train)(out)
         out = nn.relu(out)
         out = nn.Conv(self.planes, (3, 3, 3), padding=1, use_bias=False, dtype=self.dtype, name="conv2")(out)
-        out = _Norm3d(self.norm, self.axis_name, zero_init=True, name="bn2")(out, train)
+        out = _Norm3d(self.norm, self.axis_name, zero_init=True, dtype=self.dtype, name="bn2")(out, train)
         if self.drop > 0:
             out = nn.Dropout(self.drop, deterministic=not train)(out)
         if self.stride != 1 or x.shape[-1] != self.planes:
@@ -83,7 +92,7 @@ class ConditionalProjection(nn.Module):
         x = nn.Conv(self.n, (1, 1, 1), use_bias=False, dtype=self.dtype, name="conv")(x)
         if self.condition:
             x = jnp.where(mask, x, y)
-        x = _Norm3d(self.norm, name="norm")(x, train)
+        x = _Norm3d(self.norm, dtype=self.dtype, name="norm")(x, train)
         return nn.relu(x)
 
 
@@ -128,7 +137,7 @@ class EncoderDecoder(nn.Module):
             x = nn.Conv(self.channels[i], (3, 3, 3), strides=2, padding=1,
                         use_bias=(self.norm == ""), dtype=self.dtype,
                         name=f"down{i}_conv")(x)
-            x = _Norm3d(self.norm, self.axis_name, name=f"down{i}_norm")(x, train)
+            x = _Norm3d(self.norm, self.axis_name, dtype=self.dtype, name=f"down{i}_norm")(x, train)
             if self.drop > 0:
                 x = nn.Dropout(self.drop, deterministic=not train)(x)
             x = nn.relu(x)

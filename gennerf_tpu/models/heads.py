@@ -93,15 +93,20 @@ class TSDFHead(nn.Module):
                 tsdf = jnp.where(mask_prev, tsdf, jnp.sign(prev_up) * 0.999)
                 mask_surface_pred.append(mask_prev)
 
-            # output volumes are f32 regardless of compute dtype (they feed
-            # npz export, marching cubes, and f32 loss math downstream)
-            output["vol_%02d_tsdf" % voxel_sizes[i]] = tsdf.astype(jnp.float32)
+            # output volumes run at an f32 floor regardless of compute dtype
+            # (they feed npz export, marching cubes, and f32 loss math
+            # downstream); f64 passes through for full-precision parity runs
+            out_dtype = jnp.promote_types(jnp.float32, tsdf.dtype)
+            output["vol_%02d_tsdf" % voxel_sizes[i]] = tsdf.astype(out_dtype)
 
         if targets is not None:
             for i, vs in enumerate(voxel_sizes):
                 key = "vol_%02d_tsdf" % vs
-                pred = output[key].astype(jnp.float32)
-                trgt = targets[key].astype(jnp.float32)
+                loss_dtype = jnp.promote_types(
+                    jnp.float32, jnp.result_type(output[key], targets[key])
+                )
+                pred = output[key].astype(loss_dtype)
+                trgt = targets[key].astype(loss_dtype)
                 mask_observed = trgt < 1
                 mask_outside = jnp.all(trgt == 1, axis=-1, keepdims=True)
                 if self.loss_log_transform:
