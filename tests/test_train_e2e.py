@@ -219,6 +219,7 @@ class TestPredictCli:
         out = str(tmp_path / "pred")
         predict_cli.main([
             f"ckpt_path={ckpt}",
+            "trainer=cpu",  # covers predict-side select_platform (CPU inference)
             f"paths.data_dir={gtless_root}",
             f"paths.output_dir={out}",
             "data.datasets_test=[scans/scene_synth0/info.json]",
