@@ -117,11 +117,19 @@ class EncoderDecoder(nn.Module):
     drop: float = 0.0
     cond_proj: bool = True
     axis_name: Optional[str] = None
+    # rematerialize every residual block in backward: activations of the
+    # 3x3x3 conv stacks dominate training HBM at reference-scale volumes
+    # (B x C x 160x160x64 and up); remat trades one extra forward per block
+    remat: bool = False
     # compute dtype for convs (bf16-mixed); norms and params stay f32
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
+        Block = (
+            nn.remat(BasicBlock3d, static_argnums=(2,)) if self.remat
+            else BasicBlock3d
+        )
         x = x.transpose(0, 2, 3, 4, 1)  # channels-last
         if self.cond_proj:
             valid_mask = jnp.any(x != 0, axis=-1, keepdims=True)
@@ -129,7 +137,7 @@ class EncoderDecoder(nn.Module):
         xs = []
         # down path
         for j in range(self.layers_down[0]):
-            x = BasicBlock3d(self.channels[0], norm=self.norm, drop=self.drop,
+            x = Block(self.channels[0], norm=self.norm, drop=self.drop,
                              axis_name=self.axis_name, dtype=self.dtype,
                              name=f"down0_b{j}")(x, train)
         xs.append(x)
@@ -142,7 +150,7 @@ class EncoderDecoder(nn.Module):
                 x = nn.Dropout(self.drop, deterministic=not train)(x)
             x = nn.relu(x)
             for j in range(self.layers_down[i]):
-                x = BasicBlock3d(self.channels[i], norm=self.norm, drop=self.drop,
+                x = Block(self.channels[i], norm=self.norm, drop=self.drop,
                                  axis_name=self.axis_name, dtype=self.dtype,
                                  name=f"down{i}_b{j}")(x, train)
             xs.append(x)
@@ -168,7 +176,7 @@ class EncoderDecoder(nn.Module):
                                       name=f"proj{i}")(xs[i + 1], x, mask, train)
             x = (x + y) / 2
             for j in range(self.layers_up[i]):
-                x = BasicBlock3d(rev[i + 1], norm=self.norm, drop=self.drop,
+                x = Block(rev[i + 1], norm=self.norm, drop=self.drop,
                                  axis_name=self.axis_name, dtype=self.dtype,
                                  name=f"up{i}_b{j}")(x, train)
             out.append(x.transpose(0, 4, 1, 2, 3))

@@ -243,6 +243,10 @@ class GenNerfConfig:
     # tsdf.fusion.apply_fusion_prior); trims hallucinated surface outside
     # observed space
     mask_unobserved: bool = True
+    # rematerialization: recompute the per-frame backprojection fold in the
+    # backward pass instead of storing per-frame residuals (trades FLOPs
+    # for HBM at long T / big volumes)
+    remat: bool = False
     sampling_mode: str = "ray"  # 'ray' | 'frustum'
     ray: RayConfig = RayConfig()
     frustum: FrustumConfig = FrustumConfig()
@@ -300,6 +304,9 @@ class VoxelNetConfig:
     voxel_dim_test: Tuple[int, int, int] = (416, 416, 128)
     # see GenNerfConfig.mask_unobserved
     mask_unobserved: bool = True
+    # rematerialize the encode fold AND the 3D backbone residual blocks in
+    # backward (trades FLOPs for HBM at reference-scale volumes)
+    remat: bool = False
     encoder: EncoderConfig = EncoderConfig(
         use_pointnet=False,
         spatial=SpatialEncoderConfig(blur_image=False),

@@ -190,6 +190,11 @@ class GenNerf(nn.Module):
                 vol, val = backproject(voxel_dim, cfg.voxel_size, origin, proj, feat)
                 return (vol_acc + vol, val_acc + val), None
 
+            if cfg.remat:
+                # recompute the per-frame backprojection in backward instead
+                # of storing T sets of gather residuals (HBM ∝ T otherwise)
+                fold = jax.checkpoint(fold)
+
             nx, ny, nz = voxel_dim
             # accumulator policy (bf16-mixed): the running sum over T frames
             # stays f32 — bf16 accumulation degrades with sequence length

@@ -53,6 +53,7 @@ class VoxelNet(nn.Module):
             norm=b.norm,
             drop=b.drop,
             cond_proj=b.conditional_skip,
+            remat=self.cfg.remat,
             dtype=self.dtype,
         )
         h = self.cfg.heads
@@ -100,6 +101,11 @@ class VoxelNet(nn.Module):
             proj, feat = xs
             vol, val = backproject(voxel_dim, cfg.voxel_size, origin, proj, feat)
             return (vol_acc + vol, val_acc + val), None
+
+        if cfg.remat:
+            # recompute the per-frame backprojection in backward instead of
+            # storing T sets of gather residuals (HBM ∝ T otherwise)
+            fold = jax.checkpoint(fold)
 
         nx, ny, nz = voxel_dim
         # accumulate in f32 regardless of the compute dtype: the running
