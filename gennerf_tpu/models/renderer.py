@@ -62,6 +62,35 @@ def _first_crossing(vals, ts):
     return t_lo, t_hi, f_lo, f_hi, any_cross
 
 
+def ray_aabb_clip(origins, dirs, box_min, box_max, near, far):
+    """Clip per-ray [near, far] to the axis-aligned box (slab method).
+
+    Marching a fixed sample budget over a global [near, far] wastes most
+    samples outside the scene volume (the decoded field is border-clamped
+    there and cannot cross zero); clipping concentrates the same budget
+    inside the box — finer brackets at equal cost. Rays that miss the box
+    get an empty interval (t_near == t_far == far, so the march finds no
+    crossing on them by construction).
+
+    Args:
+        origins, dirs: (B, R, 3); box_min/box_max: (3,) world corners.
+
+    Returns:
+        (t_near, t_far): (B, R) per-ray interval within [near, far].
+    """
+    inv = 1.0 / jnp.where(jnp.abs(dirs) > 1e-12, dirs, 1e-12)
+    t0 = (box_min - origins) * inv  # (B, R, 3)
+    t1 = (box_max - origins) * inv
+    t_enter = jnp.minimum(t0, t1).max(axis=-1)
+    t_exit = jnp.maximum(t0, t1).min(axis=-1)
+    t_near = jnp.clip(t_enter, near, far)
+    t_far = jnp.clip(t_exit, near, far)
+    hit = t_exit > jnp.maximum(t_enter, near)
+    t_near = jnp.where(hit, t_near, far)
+    t_far = jnp.where(hit, t_far, far)
+    return t_near, t_far
+
+
 def ray_march_tsdf(
     tsdf_fn: Callable[[jnp.ndarray], jnp.ndarray],
     origins: jnp.ndarray,
@@ -72,6 +101,7 @@ def ray_march_tsdf(
     n_secant_steps: int = 8,
     n_fine_steps: int = 0,
     convention: str = "fusion",
+    aabb: Tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Find the first outside->inside zero crossing along each ray.
 
@@ -107,8 +137,17 @@ def ray_march_tsdf(
         raw_fn = tsdf_fn
         tsdf_fn = lambda p: -raw_fn(p)  # noqa: E731
     B, R, _ = origins.shape
-    ts = jnp.linspace(near, far, n_steps)  # (S,)
-    pts = origins[:, :, None, :] + dirs[:, :, None, :] * ts[None, None, :, None]
+    if aabb is not None:
+        # per-ray interval clipped to the scene box: the whole fixed sample
+        # budget lands where the field can actually cross zero (see
+        # ray_aabb_clip); rays missing the box get empty intervals
+        t_near, t_far = ray_aabb_clip(origins, dirs, aabb[0], aabb[1], near, far)
+        u = jnp.linspace(0.0, 1.0, n_steps)
+        ts = t_near[..., None] + (t_far - t_near)[..., None] * u  # (B, R, S)
+        pts = origins[:, :, None, :] + dirs[:, :, None, :] * ts[..., None]
+    else:
+        ts = jnp.linspace(near, far, n_steps)  # (S,)
+        pts = origins[:, :, None, :] + dirs[:, :, None, :] * ts[None, None, :, None]
     vals = tsdf_fn(pts.reshape(B, R * n_steps, 3)).reshape(B, R, n_steps)
     t_lo, t_hi, f_lo, f_hi, any_cross = _first_crossing(vals, ts)
 
@@ -161,7 +200,7 @@ class SurfaceRenderer:
                  n_steps: int = 16, n_secant_steps: int = 4,
                  n_max_network_queries: int = 786432, tsdf_fn=None,
                  n_fine_steps: int = 8, eval_chunk: int = 32768,
-                 convention: str = "fusion"):
+                 convention: str = "fusion", aabb=None):
         """Defaults are the round-3 TPU-tuned fast recipe (BENCH.md): a
         16-sample coarse march + 8-sample fine bracket refinement + 4
         secant iterations (the fine pass already brackets the crossing to
@@ -179,7 +218,13 @@ class SurfaceRenderer:
 
         `convention`: 'fusion' (default — trained decoders regress fused
         GT, which is negative in free space; see ray_march_tsdf) or 'sdf'
-        for classic + outside fields."""
+        for classic + outside fields.
+
+        `aabb`: optional (box_min, box_max) world corners of the scene
+        volume; when set, each ray's march interval is clipped to the box
+        (ray_aabb_clip) so the whole sample budget lands where the decoded
+        field is live — at typical scene/frustum ratios this tightens the
+        coarse bracket several-fold at identical cost."""
         self.decode_fn = decode_fn
         self.near = near
         self.far = far
@@ -190,6 +235,10 @@ class SurfaceRenderer:
         self.n_fine_steps = n_fine_steps
         self.eval_chunk = eval_chunk
         self.convention = convention
+        self.aabb = (
+            (jnp.asarray(aabb[0], jnp.float32), jnp.asarray(aabb[1], jnp.float32))
+            if aabb is not None else None
+        )
 
     def _tsdf(self, pts: jnp.ndarray) -> jnp.ndarray:
         if self._tsdf_fast is not None:
@@ -212,7 +261,7 @@ class SurfaceRenderer:
         depth, mask = ray_march_tsdf(
             self._tsdf, origins, dirs, self.near, self.far,
             self.n_steps, self.n_secant_steps, self.n_fine_steps,
-            convention=self.convention,
+            convention=self.convention, aabb=self.aabb,
         )
         points = origins + dirs * depth[..., None]
         out = self.decode_fn(points)

@@ -127,8 +127,12 @@ def main(argv=None):
                 tsdf_fn = make_point_tsdf_fn(model, variables, repr_, np.zeros(3))
             except NotImplementedError as e:
                 log.info(f"fused point decode unavailable ({e}); XLA decode")
+        # clip each ray's march to the decode volume box: the field is
+        # border-clamped outside it, so samples there are pure waste
+        vol_size = np.array(cfg.voxel_dim_test, np.float32) * cfg.voxel_size
         renderer = SurfaceRenderer(decode_fn, near=args.near, far=args.far,
-                                   tsdf_fn=tsdf_fn)
+                                   tsdf_fn=tsdf_fn,
+                                   aabb=(np.zeros(3, np.float32), vol_size))
 
         views = np.linspace(0, T - 1, min(args.num_views, T)).astype(int)
         metrics_sum, n = {}, 0

@@ -427,6 +427,83 @@ class TestSurfaceRenderer:
         np.testing.assert_allclose(fb_np[mb_np], pts[mb_np][:, :2], atol=1e-5)
 
 
+class TestAabbClippedMarch:
+    def _sphere(self):
+        center = jnp.array([0.0, 0.0, 0.0])
+
+        def tsdf_fn(pts):
+            return jnp.linalg.norm(pts - center, axis=-1) - 0.5
+
+        return tsdf_fn
+
+    def test_ray_aabb_clip_analytic(self):
+        from gennerf_tpu.models.renderer import ray_aabb_clip
+
+        origins = jnp.array([[[0.0, 0.0, -2.0], [0.0, 0.0, -2.0], [5.0, 0.0, -2.0]]])
+        dirs = jnp.array([[[0.0, 0.0, 1.0],      # through the box
+                           [1.0, 0.0, 0.0],      # parallel, misses
+                           [0.0, 0.0, 1.0]]])    # offset, misses
+        box = (jnp.array([-1.0, -1.0, -1.0]), jnp.array([1.0, 1.0, 1.0]))
+        t_near, t_far = ray_aabb_clip(origins, dirs, *box, near=0.1, far=10.0)
+        np.testing.assert_allclose(float(t_near[0, 0]), 1.0, atol=1e-6)
+        np.testing.assert_allclose(float(t_far[0, 0]), 3.0, atol=1e-6)
+        # missed rays collapse to an empty interval at far
+        assert float(t_near[0, 1]) == float(t_far[0, 1]) == 10.0
+        assert float(t_near[0, 2]) == float(t_far[0, 2]) == 10.0
+
+    def test_march_with_aabb_same_depths_and_miss_mask(self):
+        """Box-clipped march reproduces the analytic sphere depths; rays
+        that miss the box find no crossing by construction."""
+        tsdf_fn = self._sphere()
+        B, R = 1, 8
+        origins = jnp.tile(jnp.array([[0.0, 0.0, -2.0]]), (B, R, 1))
+        angles = jnp.linspace(-0.15, 0.15, R)
+        dirs = jnp.stack([jnp.sin(angles), jnp.zeros(R), jnp.cos(angles)], -1)[None]
+        box = (jnp.array([-0.6, -0.6, -0.6]), jnp.array([0.6, 0.6, 0.6]))
+        depth, mask = ray_march_tsdf(tsdf_fn, origins, dirs, near=0.1, far=4.0,
+                                     n_steps=64, n_secant_steps=8,
+                                     convention="sdf", aabb=box)
+        assert np.asarray(mask).all()
+        o = np.asarray(origins)[0, 0]
+        for i in range(R):
+            d = np.asarray(dirs)[0, i]
+            b = np.dot(o, d)
+            t_true = -b - np.sqrt(b**2 - (np.dot(o, o) - 0.25))
+            assert abs(float(depth[0, i]) - t_true) < 2e-3
+        # a ray pointing away from the box never hits
+        away = jnp.array([[[0.0, 0.0, -1.0]]])
+        _, miss = ray_march_tsdf(tsdf_fn, origins[:, :1], away, near=0.1,
+                                 far=4.0, n_steps=64, n_secant_steps=8,
+                                 convention="sdf", aabb=box)
+        assert not bool(miss[0, 0])
+
+    def test_aabb_concentrates_budget(self):
+        """At a starved sample budget (8 coarse steps over far=10), the
+        box-clipped march still resolves the sphere to sub-mm while the
+        unclipped march's bracket is ~10x coarser."""
+        tsdf_fn = self._sphere()
+        origins = jnp.array([[[0.0, 0.0, -2.0]]])
+        # angled ray: the SDF profile along it is nonlinear, so bracket
+        # width shows up in the secant result (a center ray's profile is
+        # exactly linear and any bracket converges)
+        a = 0.18
+        dirs = jnp.array([[[np.sin(a), 0.0, np.cos(a)]]], dtype=jnp.float32)
+        o = np.array([0.0, 0.0, -2.0])
+        d = np.array([np.sin(a), 0.0, np.cos(a)])
+        b = np.dot(o, d)
+        t_true = -b - np.sqrt(b**2 - (np.dot(o, o) - 0.25))
+        box = (jnp.array([-0.6, -0.6, -0.6]), jnp.array([0.6, 0.6, 0.6]))
+        kw = dict(near=0.1, far=10.0, n_steps=8, n_secant_steps=2,
+                  n_fine_steps=0, convention="sdf")
+        d_clip, m_clip = ray_march_tsdf(tsdf_fn, origins, dirs, aabb=box, **kw)
+        d_free, m_free = ray_march_tsdf(tsdf_fn, origins, dirs, **kw)
+        assert bool(m_clip[0, 0])
+        err_clip = abs(float(d_clip[0, 0]) - t_true)
+        assert err_clip < 1e-3, err_clip
+        if bool(m_free[0, 0]):
+            assert err_clip < abs(float(d_free[0, 0]) - t_true)
+
+
 class TestHierarchicalMarch:
     def test_sphere_depth_matches_closed_form(self):
         """The coarse->fine march (24+8 evals) reaches the analytic sphere
