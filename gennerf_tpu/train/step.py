@@ -228,6 +228,9 @@ def gen_nerf_forward_loss(
                 "tsdf"
             ][..., 0]
 
+        # clip each ray's march to the training volume box: the decoded
+        # field is border-clamped outside it (see ray_aabb_clip)
+        vol_size = jnp.asarray(voxel_dim, jnp.float32) * cfg.voxel_size
         depth_r, hit = ray_march_tsdf(
             field_fn,
             origins.reshape(B, T * Rr, 3),
@@ -238,6 +241,7 @@ def gen_nerf_forward_loss(
             n_secant_steps=dcfg.render_secant,
             n_fine_steps=dcfg.render_fine,
             convention="fusion",
+            aabb=(origin.astype(jnp.float32), origin.astype(jnp.float32) + vol_size),
         )
         depth_r = jax.lax.stop_gradient(depth_r)  # (B, T*Rr)
         pts_r = origins.reshape(B, T * Rr, 3) + dirs.reshape(B, T * Rr, 3) * depth_r[..., None]

@@ -260,7 +260,9 @@ class TestRenderDistillTraining:
         task = GenNerfTask(cfg)
         batch = self._batch(rng)
         state = task.init_state(_jax.random.PRNGKey(0), batch)
-        new_state, metrics = task.run_train_step(state, batch, _jax.random.PRNGKey(1))
+        # PRNGKey(10): the engage test pins that this key yields hit rays
+        new_state, metrics = task.run_train_step(state, batch, _jax.random.PRNGKey(10))
+        assert float(metrics["distill"]) > 0.0, "fixture lost its hit rays"
         flat0 = _jax.tree_util.tree_leaves_with_path(state.params)
         flat1 = {
             _jax.tree_util.keystr(p): l
