@@ -39,6 +39,7 @@ class Trainer:
         early_stopping_patience: int = 3,
         early_stopping_mode: str = "min",
         prefetch_batches: int = 2,
+        save_on_preempt: bool = True,
         output_dir: str = ".",
         logger: Optional[MetricsLogger] = None,
         ckpt: Optional[CheckpointManager] = None,
@@ -83,6 +84,12 @@ class Trainer:
         # of the next `prefetch_batches` batches while the step runs (0 =
         # synchronous; see parallel.mesh.prefetch_shard)
         self.prefetch_batches = int(prefetch_batches)
+        # graceful preemption (cloud TPU / SLURM send SIGTERM with a grace
+        # window): checkpoint at the next step boundary and exit cleanly so
+        # `ckpt_path` resume continues the run. The reference has no
+        # equivalent (SURVEY §5.3: recovery is manual resume only).
+        self.save_on_preempt = bool(save_on_preempt)
+        self._preempted = False
         self.metrics: Dict[str, float] = {}
 
     # -----------------------------------------------------------------
@@ -137,6 +144,28 @@ class Trainer:
                 key, k = jax.random.split(key)
                 task.run_eval_step(state, shard_batch(_arrays(batch), self.mesh), k)
 
+        import signal
+        import threading
+
+        prev_sigterm = None
+        if self.save_on_preempt and threading.current_thread() is threading.main_thread():
+            def _on_sigterm(signum, frame):
+                self._preempted = True
+                self.log.info(
+                    "SIGTERM: checkpointing at the next step boundary, then exiting"
+                )
+
+            prev_sigterm = signal.signal(signal.SIGTERM, _on_sigterm)
+
+        try:
+            return self._fit_loop(task, key, state, start_epoch,
+                                  train_loader, val_loader, config_snapshot)
+        finally:
+            if prev_sigterm is not None:
+                signal.signal(signal.SIGTERM, prev_sigterm)
+
+    def _fit_loop(self, task, key, state, start_epoch,
+                  train_loader, val_loader, config_snapshot):
         global_step = int(state.step)
         best_monitor = None
         stale_epochs = 0
@@ -168,6 +197,17 @@ class Trainer:
                 if global_step % self.log_every_n_steps == 0:
                     last_metrics = {f"train_{k_}": float(v) for k_, v in metrics.items()}
                     self.logger.log_metrics({**last_metrics, "lr": lr, "epoch": epoch}, global_step)
+                if self._preempted:
+                    break
+            if self._preempted:
+                if metrics is not None and self.ckpt is not None:
+                    self.ckpt.save(epoch, state, config_snapshot, metrics=None)
+                self.log.info(
+                    f"preempted during epoch {epoch} (step {global_step}): "
+                    "checkpoint saved; resume with ckpt_path= to continue "
+                    f"at epoch {epoch + 1}"
+                )
+                return state
             dt = time.time() - t_epoch
             if metrics is None:
                 raise RuntimeError(

@@ -141,6 +141,12 @@ def train(cfg: dict):
             config_snapshot=cfg,
         )
 
+    if getattr(trainer, "_preempted", False):
+        # graceful preemption: checkpoint already saved by the fit loop;
+        # skip the test phase and exit 0 so the scheduler sees a clean stop
+        log.info(f"preempted: resume with ckpt_path={os.path.join(output_dir, 'checkpoints')}")
+        return trainer.metrics, output_dir
+
     if cfg.get("test", False):
         log.info("starting testing")
         if state is None:
