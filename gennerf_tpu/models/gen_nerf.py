@@ -57,7 +57,13 @@ class GenNerf(nn.Module):
         enc = self.cfg.encoder
         if enc.use_spatial:
             s = enc.spatial
-            self.spatial = SpatialEncoder(
+            # remat: recompute the 2D backbone's activations in backward —
+            # at (B*T) folded frames they are the largest activation block
+            spatial_cls = (
+                nn.remat(SpatialEncoder, static_argnums=(2,))
+                if self.cfg.remat else SpatialEncoder
+            )
+            self.spatial = spatial_cls(
                 backbone=s.backbone,
                 num_layers=s.num_layers,
                 upsample_interp=s.upsample_interp,
@@ -170,7 +176,7 @@ class GenNerf(nn.Module):
             images_bt = image.reshape(B * T, *image.shape[2:])
             feat_2d = []
             if enc.use_spatial:
-                feat_2d.append(self.spatial(images_bt, train=train))
+                feat_2d.append(self.spatial(images_bt, train))
             if enc.use_auxiliary and self.teacher is not None:
                 feat_2d.append(self.teacher(images_bt))
             feat_2d = jnp.concatenate(feat_2d, axis=1)  # (B*T, C, H', W')

@@ -32,7 +32,13 @@ class VoxelNet(nn.Module):
 
     def setup(self):
         s = self.cfg.encoder.spatial
-        self.spatial = SpatialEncoder(
+        # remat: recompute the 2D backbone's activations in backward — at
+        # (B*T) folded frames they are the largest activation block
+        spatial_cls = (
+            nn.remat(SpatialEncoder, static_argnums=(2,))
+            if self.cfg.remat else SpatialEncoder
+        )
+        self.spatial = spatial_cls(
             backbone=s.backbone,
             num_layers=s.num_layers,
             upsample_interp=s.upsample_interp,
@@ -89,7 +95,7 @@ class VoxelNet(nn.Module):
         cfg = self.cfg
         B, T = projection.shape[:2]
         images_bt = image.reshape(B * T, *image.shape[2:])
-        feat_2d = self.spatial(images_bt, train=train)  # (B*T, C, H', W')
+        feat_2d = self.spatial(images_bt, train)  # (B*T, C, H', W')
         C, Hf, Wf = feat_2d.shape[1:]
         feat_t = feat_2d.reshape(B, T, C, Hf, Wf).transpose(1, 0, 2, 3, 4)
         H, W = image.shape[-2:]
