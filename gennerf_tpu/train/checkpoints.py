@@ -51,7 +51,14 @@ class CheckpointManager:
 
     def save(self, epoch: int, state: TrainState,
              config: Optional[Dict[str, Any]] = None,
-             metrics: Optional[Dict[str, float]] = None):
+             metrics: Optional[Dict[str, float]] = None,
+             wait: bool = False):
+        """Save asynchronously by default: orbax serializes in a background
+        thread, so the epoch-end save overlaps the next epoch's steps
+        (orbax itself blocks a new save until the previous one lands).
+        Every read path (`restore*`, `latest_epoch`, `best_epoch`) and
+        `close()` barrier on in-flight saves; pass wait=True where the
+        process may exit right after (preemption)."""
         kwargs = {}
         if self.monitor:
             if metrics is not None and self.monitor in metrics:
@@ -62,12 +69,18 @@ class CheckpointManager:
                 worst = float("inf") if self.mode == "min" else float("-inf")
                 kwargs["metrics"] = {self.monitor: worst}
         self._mgr.save(epoch, args=ocp.args.StandardSave(state), **kwargs)
-        self._mgr.wait_until_finished()
+        if wait:
+            self._mgr.wait_until_finished()
         if config is not None:
             with open(os.path.join(self.directory, "config.json"), "w") as f:
                 json.dump(jax.tree.map(_jsonable, config), f, indent=2, default=str)
 
+    def wait(self):
+        """Block until all in-flight async saves are durable."""
+        self._mgr.wait_until_finished()
+
     def restore(self, state_template: TrainState, step: Optional[int] = None) -> TrainState:
+        self._mgr.wait_until_finished()
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
@@ -79,6 +92,7 @@ class CheckpointManager:
         return self.restore(state_template, self.best_epoch())
 
     def latest_epoch(self) -> Optional[int]:
+        self._mgr.wait_until_finished()
         return self._mgr.latest_step()
 
     def best_epoch(self) -> Optional[int]:
@@ -87,9 +101,11 @@ class CheckpointManager:
         ModelCheckpoint has monitor: null)."""
         if not self.monitor:
             return None
+        self._mgr.wait_until_finished()
         return self._mgr.best_step()
 
     def close(self):
+        self._mgr.wait_until_finished()
         self._mgr.close()
 
 

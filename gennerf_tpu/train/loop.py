@@ -201,7 +201,9 @@ class Trainer:
                     break
             if self._preempted:
                 if metrics is not None and self.ckpt is not None:
-                    self.ckpt.save(epoch, state, config_snapshot, metrics=None)
+                    # the process exits right after: make the save durable
+                    self.ckpt.save(epoch, state, config_snapshot, metrics=None,
+                                   wait=True)
                 self.log.info(
                     f"preempted during epoch {epoch} (step {global_step}): "
                     "checkpoint saved; resume with ckpt_path= to continue "
@@ -255,10 +257,13 @@ class Trainer:
                             stop = True
 
             if self.ckpt is not None:
+                # async: serialization overlaps the next epoch's steps
                 self.ckpt.save(epoch, state, config_snapshot, metrics=val_metrics)
             if stop:
                 break
 
+        if self.ckpt is not None:
+            self.ckpt.wait()
         return state
 
     # -----------------------------------------------------------------
