@@ -77,6 +77,7 @@ class Trainer:
         self.profile_steps = profile_steps
         self.early_stopping_monitor = early_stopping_monitor
         self.early_stopping_patience = early_stopping_patience
+        self.gradient_clip_val = gradient_clip_val
         if early_stopping_mode not in ("min", "max"):
             raise ValueError(f"early_stopping_mode must be 'min' or 'max', got {early_stopping_mode!r}")
         self.early_stopping_mode = early_stopping_mode
@@ -109,6 +110,12 @@ class Trainer:
                 f"trainer.precision={self.precision!r} maps to {want} but the "
                 f"task's model computes in {task_dtype}; pass precision= to "
                 "make_task to train at the configured precision"
+            )
+        if self.gradient_clip_val and getattr(task, "gradient_clip_val", None) != self.gradient_clip_val:
+            self.log.warning(
+                f"trainer.gradient_clip_val={self.gradient_clip_val} but the "
+                "task's optimizer was built without it; pass "
+                "gradient_clip_val= to make_task to actually clip"
             )
         train_loader = datamodule.train_dataloader()
         val_loader = datamodule.val_dataloader()

@@ -25,10 +25,16 @@ class TrainState:
     opt_state: Any
 
 
-def make_optimizer(opt_cfg: OptimizerConfig) -> optax.GradientTransformation:
+def make_optimizer(opt_cfg: OptimizerConfig,
+                   gradient_clip_val=None) -> optax.GradientTransformation:
     if opt_cfg.type != "Adam":
         raise NotImplementedError(f"optimizer {opt_cfg.type} not supported")
     chain = []
+    if gradient_clip_val:
+        # trainer.gradient_clip_val — Lightning clips by GLOBAL norm by
+        # default (its gradient_clip_algorithm='norm'); applied before the
+        # L2 term and the Adam moments, like Lightning's pre-step hook
+        chain.append(optax.clip_by_global_norm(float(gradient_clip_val)))
     if opt_cfg.weight_decay:
         # torch-Adam-style coupled weight decay: L2 term added to gradients
         # *before* the Adam moments (NOT AdamW's decoupled decay)

@@ -63,7 +63,8 @@ def _maybe_load_pretrained(variables: dict, cfg) -> dict:
 class GenNerfTask:
     name = "GenNerf"
 
-    def __init__(self, model_cfg_dict: Dict[str, Any], precision=None):
+    def __init__(self, model_cfg_dict: Dict[str, Any], precision=None,
+                 gradient_clip_val=None):
         from ..models.teacher import make_teacher
 
         self.cfg: GenNerfConfig = config_from_dict(GenNerfConfig, model_cfg_dict)
@@ -73,8 +74,9 @@ class GenNerfTask:
                 "encoder.auxiliary_dim must equal teacher.feature_dim"
             )
         self.dtype = dtype_for_precision(precision)
+        self.gradient_clip_val = gradient_clip_val
         self.model = GenNerf(self.cfg, teacher=teacher, dtype=self.dtype)
-        self.tx = make_optimizer(self.cfg.optimizer)
+        self.tx = make_optimizer(self.cfg.optimizer, gradient_clip_val)
         self.train_step = make_gen_nerf_train_step(self.model, self.cfg, self.tx)
         self.eval_step = make_gen_nerf_eval_step(self.model, self.cfg)
         self.voxel_sizes = [int(self.cfg.voxel_size * 100)]
@@ -149,11 +151,13 @@ class GenNerfTask:
 class VoxelNetTask:
     name = "VoxelNet"
 
-    def __init__(self, model_cfg_dict: Dict[str, Any], precision=None):
+    def __init__(self, model_cfg_dict: Dict[str, Any], precision=None,
+                 gradient_clip_val=None):
         self.cfg: VoxelNetConfig = config_from_dict(VoxelNetConfig, model_cfg_dict)
         self.dtype = dtype_for_precision(precision)
+        self.gradient_clip_val = gradient_clip_val
         self.model = VoxelNet(self.cfg, dtype=self.dtype)
-        self.tx = make_optimizer(self.cfg.optimizer)
+        self.tx = make_optimizer(self.cfg.optimizer, gradient_clip_val)
         self.train_step = make_voxel_net_train_step(self.model, self.cfg, self.tx)
         self.eval_step = make_voxel_net_eval_step(self.model, self.cfg)
         final = int(self.cfg.voxel_size * 100)
@@ -218,13 +222,18 @@ class VoxelNetTask:
         )
 
 
-def make_task(model_cfg_dict: Dict[str, Any], precision=None):
+def make_task(model_cfg_dict: Dict[str, Any], precision=None,
+              gradient_clip_val=None):
     """Build the model task. `precision` is the trainer.precision string
     (reference trainer/default.yaml:12); bf16-mixed makes the model compute
-    in bf16 with f32 params/norms/accumulators/losses."""
+    in bf16 with f32 params/norms/accumulators/losses. `gradient_clip_val`
+    is trainer.gradient_clip_val — Lightning-style global-norm clipping
+    chained before the optimizer."""
     t = model_cfg_dict.get("type", "GenNerf")
     if t == "GenNerf":
-        return GenNerfTask(model_cfg_dict, precision=precision)
+        return GenNerfTask(model_cfg_dict, precision=precision,
+                           gradient_clip_val=gradient_clip_val)
     if t == "VoxelNet":
-        return VoxelNetTask(model_cfg_dict, precision=precision)
+        return VoxelNetTask(model_cfg_dict, precision=precision,
+                            gradient_clip_val=gradient_clip_val)
     raise NotImplementedError(f"model type {t}")

@@ -109,7 +109,8 @@ def train(cfg: dict):
     log.info(
         f"instantiating model <{cfg['model'].get('type')}> (precision={precision})"
     )
-    task = make_task(cfg["model"], precision=precision)
+    task = make_task(cfg["model"], precision=precision,
+                     gradient_clip_val=trainer_cfg.get("gradient_clip_val"))
 
     logger = MetricsLogger(output_dir, cfg.get("logger"))
     ckpt_cfg = cfg.get("callbacks", {}).get("model_checkpoint", {})

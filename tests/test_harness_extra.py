@@ -232,3 +232,67 @@ class TestItemCache:
             assert np.array(again["frames"][0]["image"]).any()
         finally:
             configure_item_cache(0, 0)
+
+
+class TestGradientClip:
+    def test_clip_chained_before_adam(self):
+        """trainer.gradient_clip_val must actually clip (the knob was
+        previously accepted and dead). Adam is scale-invariant on a single
+        step, so probe via the second-moment history: a huge step-1
+        gradient poisons the unclipped Adam's nu and crushes a normal
+        step-2 update, while the clipped chain never sees the spike."""
+        import optax
+
+        from gennerf_tpu.models.config import OptimizerConfig
+        from gennerf_tpu.train.state import make_optimizer
+
+        params = {"w": jnp.zeros(3, jnp.float32)}
+        g_spike = {"w": jnp.asarray([1e4, 0.0, 0.0], jnp.float32)}
+        g_normal = {"w": jnp.asarray([1.0, 0.0, 0.0], jnp.float32)}
+
+        def two_steps(tx):
+            st = tx.init(params)
+            _, st = tx.update(g_spike, st, params)
+            u2, _ = tx.update(g_normal, st, params)
+            return float(jnp.abs(u2["w"][0]))
+
+        free = two_steps(make_optimizer(OptimizerConfig(lr=0.1)))
+        clipped = two_steps(make_optimizer(OptimizerConfig(lr=0.1),
+                                           gradient_clip_val=1.0))
+        # clipped: both steps see unit-norm gradients -> step-2 update is
+        # the full Adam step (~lr, measured 0.0999); unclipped: the spike
+        # poisons m AND nu, damping step 2 (measured 0.067)
+        assert abs(clipped - 0.1) < 0.005, clipped
+        assert free < 0.8 * clipped, (clipped, free)
+
+    def test_task_threads_clip(self, rng):
+        """make_task(gradient_clip_val=...) reaches the optimizer chain and
+        the task records it (the Trainer warns on mismatch)."""
+        from gennerf_tpu.train.tasks import make_task
+
+        cfg = {
+            "type": "GenNerf", "voxel_size": 0.08,
+            "voxel_dim_train": [16, 16, 8], "voxel_dim_val": [16, 16, 8],
+            "voxel_dim_test": [16, 16, 8],
+            "encoder": {"use_spatial": False, "use_pointnet": True,
+                        "pointnet": {"num_sparse_points": 32, "c_dim": 8,
+                                     "hidden_dim": 8, "plane_resolution": 16,
+                                     "n_blocks": 2, "unet": False}},
+            "mlp": {"d_out_sem": 8, "d_out_geo": 8, "n_blocks": 2, "d_hidden": 16},
+            "ray": {"num_rays": 8, "N": 2, "M": 1, "d_min": 0.07,
+                    "delta": 0.1, "sigma": 0.1},
+        }
+        task = make_task(cfg, gradient_clip_val=0.5)
+        assert task.gradient_clip_val == 0.5
+        batch = {
+            "projection": rng.standard_normal((1, 2, 3, 4)).astype(np.float32),
+            "image": rng.standard_normal((1, 2, 3, 16, 20)).astype(np.float32),
+            "depth": (rng.random((1, 2, 16, 20)) + 0.5).astype(np.float32),
+            "pose": np.tile(np.eye(4, dtype=np.float32), (1, 2, 1, 1)),
+            "intrinsics": np.tile((np.eye(3) * 20).astype(np.float32), (1, 2, 1, 1)),
+            "vol_08_tsdf": rng.uniform(-1, 1, (1, 1, 16, 16, 8)).astype(np.float32),
+        }
+        batch["projection"][:, :, 2, 2] = 1.0
+        state = task.init_state(jax.random.PRNGKey(0), batch)
+        state, metrics = task.run_train_step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["combined"]))
