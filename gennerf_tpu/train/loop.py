@@ -78,6 +78,18 @@ class Trainer:
         self.early_stopping_monitor = early_stopping_monitor
         self.early_stopping_patience = early_stopping_patience
         self.gradient_clip_val = gradient_clip_val
+        if deterministic:
+            # accepted for reference-config parity (Lightning
+            # deterministic=True forces deterministic cuDNN kernels). Here
+            # determinism is structural: jit programs are deterministic on
+            # a fixed device topology, all randomness flows from the run
+            # seed, and the loader draws per-item RNG independent of worker
+            # scheduling — there is no nondeterministic kernel to disable.
+            self.log.info(
+                "trainer.deterministic=true: runs are already deterministic "
+                "by construction (seeded PRNG + per-item loader RNG); no "
+                "kernel switches needed"
+            )
         if early_stopping_mode not in ("min", "max"):
             raise ValueError(f"early_stopping_mode must be 'min' or 'max', got {early_stopping_mode!r}")
         self.early_stopping_mode = early_stopping_mode
