@@ -243,6 +243,12 @@ class GenNerfConfig:
     # tsdf.fusion.apply_fusion_prior); trims hallucinated surface outside
     # observed space
     mask_unobserved: bool = True
+    # prior-first sparse inference: compute the fusion prior BEFORE
+    # decoding and decode only the near-surface band (~10% of typical
+    # grids) through the arbitrary-point tier; the rest is the prior's
+    # deterministic constants. Same output as dense-decode + prior (see
+    # train.predict.predict_tsdf_volume_sparse). Requires mask_unobserved.
+    sparse_band_decode: bool = False
     # rematerialization: recompute the per-frame backprojection fold in the
     # backward pass instead of storing per-frame residuals (trades FLOPs
     # for HBM at long T / big volumes)

@@ -117,6 +117,74 @@ def predict_tsdf_volume(
     return tsdf.reshape(voxel_dim).astype(jnp.float32)
 
 
+def predict_tsdf_volume_sparse(
+    model: GenNerf,
+    variables,
+    repr_: SceneRepr,
+    voxel_dim: Tuple[int, int, int],
+    voxel_size: float,
+    origin,
+    projections,
+    depths,
+    trunc_ratio: float = 3.0,
+    chunk_size: int = 32768,
+) -> jnp.ndarray:
+    """Prior-first sparse inference: decode ONLY the near-surface band.
+
+    The fusion prior (tsdf.fusion.apply_fusion_prior) proves the fused
+    value of the input frames is a deterministic constant outside the
+    near-surface band (+1 where no frame writes, -1 in ray-traversed free
+    space) — on typical scenes that is ~90% of the grid. The dense path
+    decodes every voxel and then throws that work away at the clamp; this
+    path inverts the order: compute the prior classes first (one jitted
+    scan over frames), decode only the band voxels through the
+    arbitrary-point tier, and fill the rest with the constants.
+
+    Output contract: identical to
+    `apply_fusion_prior(predict_tsdf_volume(use_fused=False), ...)` — the
+    band voxels sit at exactly the dense grid's linspace positions and ride
+    the same chunked gather decode (the fused grid kernel's separable math
+    differs at bf16-rounding level, as documented in BENCH.md).
+
+    Args:
+        projections: (T, 3, 4) world->image of the ENCODED input frames.
+        depths: (T, H, W).
+    """
+    from ..tsdf.fusion import _prior_classes
+
+    nx, ny, nz = (int(d) for d in voxel_dim)
+    origin_a = jnp.asarray(origin, jnp.float32).reshape(3)
+    near, farfront = _prior_classes(
+        (nx, ny, nz), float(voxel_size), origin_a,
+        float(voxel_size) * trunc_ratio,
+        jnp.asarray(projections), jnp.asarray(depths),
+    )
+    near_np = np.asarray(near)
+    out = np.where(np.asarray(farfront), np.float32(-1.0), np.float32(1.0))
+    idx = np.nonzero(near_np)[0]
+    if idx.size:
+        # flat index -> the dense grid's linspace coordinates (ops.coords.
+        # grid_coordinates: x_i = i * voxel_size*n/(n-1), endpoints incl.)
+        i = idx // (ny * nz)
+        j = (idx // nz) % ny
+        k = idx % nz
+        step = np.array(
+            [voxel_size * n / max(n - 1, 1) for n in (nx, ny, nz)], np.float32
+        )
+        pts = np.stack([i, j, k], axis=-1).astype(np.float32) * step
+        pts += np.asarray(origin_a).reshape(1, 3)
+        # quantize the host-side pad to chunk multiples so jit signatures
+        # repeat across scenes with similar band sizes
+        pad = (-idx.size) % chunk_size
+        if pad:
+            pts = np.concatenate([pts, np.zeros((pad, 3), np.float32)])
+        vals = decode_dense(
+            model, variables, repr_, jnp.asarray(pts), origin_a, chunk_size
+        )
+        out[idx] = np.asarray(vals, np.float32)[: idx.size]
+    return jnp.asarray(out.reshape(nx, ny, nz))
+
+
 def _separable_grid_setup(model: GenNerf, variables, repr_: SceneRepr):
     """Shared eligibility checks + weight extraction for the separable grid
     decoders. Raises NotImplementedError when the config/representation is

@@ -128,19 +128,32 @@ class GenNerfTask:
             jax.random.PRNGKey(0), voxel_dim, origin,
             train=False, method=GenNerf.encode, mutable=["batch_stats"],
         )
-        vol = predict_tsdf_volume(
-            self.model, variables, repr_, voxel_dim, cfg.voxel_size, np.zeros(3)
-        )
-        if cfg.mask_unobserved:
-            # clamp voxels no input frame touches to the fusion init (+1):
-            # there the fused GT is +1 deterministically, and the decoder's
-            # extrapolation only adds hallucinated surface (see
-            # tsdf.fusion.apply_fusion_prior)
-            vol = apply_fusion_prior(
-                vol, cfg.voxel_size, jnp.zeros(3),
+        if cfg.mask_unobserved and cfg.sparse_band_decode:
+            # prior-first: decode only the near-surface band; everything
+            # else is the prior's deterministic constant (same output as
+            # the dense-decode + clamp below, ~10x fewer decoded points)
+            from .predict import predict_tsdf_volume_sparse
+
+            vol = predict_tsdf_volume_sparse(
+                self.model, variables, repr_, voxel_dim, cfg.voxel_size,
+                np.zeros(3),
                 jnp.asarray(b["projection"][b_idx]),
                 jnp.asarray(b["depth"][b_idx]),
             )
+        else:
+            vol = predict_tsdf_volume(
+                self.model, variables, repr_, voxel_dim, cfg.voxel_size, np.zeros(3)
+            )
+            if cfg.mask_unobserved:
+                # clamp voxels no input frame touches to the fusion init (+1):
+                # there the fused GT is +1 deterministically, and the decoder's
+                # extrapolation only adds hallucinated surface (see
+                # tsdf.fusion.apply_fusion_prior)
+                vol = apply_fusion_prior(
+                    vol, cfg.voxel_size, jnp.zeros(3),
+                    jnp.asarray(b["projection"][b_idx]),
+                    jnp.asarray(b["depth"][b_idx]),
+                )
         origin_arr = jnp.zeros((1, 3))
         return (
             TSDF(cfg.voxel_size, origin_arr, vol),
