@@ -40,6 +40,9 @@ class Trainer:
         early_stopping_mode: str = "min",
         prefetch_batches: int = 2,
         save_on_preempt: bool = True,
+        model_summary_depth: Optional[int] = None,
+        progress_bar: bool = False,
+        clear_cache: bool = False,
         output_dir: str = ".",
         logger: Optional[MetricsLogger] = None,
         ckpt: Optional[CheckpointManager] = None,
@@ -103,6 +106,13 @@ class Trainer:
         # equivalent (SURVEY §5.3: recovery is manual resume only).
         self.save_on_preempt = bool(save_on_preempt)
         self._preempted = False
+        # callback analogs (reference configs/callbacks/: RichModelSummary,
+        # RichProgressBar, CudaClearCacheCallback — see train/callbacks.py)
+        self.model_summary_depth = model_summary_depth
+        self.clear_cache = bool(clear_cache)
+        from .callbacks import ProgressBar
+
+        self.progress = ProgressBar(enabled=bool(progress_bar))
         self.metrics: Dict[str, float] = {}
 
     # -----------------------------------------------------------------
@@ -147,6 +157,13 @@ class Trainer:
 
         self.log.info(f"{task.name}: {param_count(state.params):,} params on "
                       f"{self.mesh.devices.size} device(s)")
+        if self.model_summary_depth is not None and jax.process_index() == 0:
+            from .callbacks import summarize_params
+
+            self.log.info(
+                "model summary:\n"
+                + summarize_params(state.params, self.model_summary_depth)
+            )
 
         start_epoch = 0
         if ckpt_path:
@@ -189,6 +206,13 @@ class Trainer:
         best_monitor = None
         stale_epochs = 0
         stop = False
+        batches_per_epoch = None
+        if self.clear_cache:
+            # reference on_train_start hook (clear_cache_cb.py): free dead
+            # buffers before the loop, report what is actually live
+            from .callbacks import clear_device_caches
+
+            clear_device_caches(self.log, "train start")
         for epoch in range(start_epoch, self.max_epochs):
             lr = lr_for_epoch(task.cfg.optimizer, task.cfg.scheduler, epoch)
             state = state.replace(opt_state=set_learning_rate(state.opt_state, lr))
@@ -196,6 +220,8 @@ class Trainer:
             t_epoch = time.time()
             last_metrics = {}
             metrics = None
+            self.progress.start_epoch(epoch, batches_per_epoch)
+            step_in_epoch = 0
             for batch, sharded in prefetch_shard(
                 train_loader, self.mesh, self.prefetch_batches
             ):
@@ -213,11 +239,17 @@ class Trainer:
                     jax.profiler.stop_trace()
                     self.log.info(f"profiler trace written to {self.profile_dir}")
                 global_step += 1
+                step_in_epoch += 1
                 if global_step % self.log_every_n_steps == 0:
                     last_metrics = {f"train_{k_}": float(v) for k_, v in metrics.items()}
                     self.logger.log_metrics({**last_metrics, "lr": lr, "epoch": epoch}, global_step)
+                # progress line shows already-fetched host floats only (no
+                # extra device sync on the step cadence)
+                self.progress.update(step_in_epoch, last_metrics or None)
                 if self._preempted:
                     break
+            self.progress.end_epoch()
+            batches_per_epoch = step_in_epoch or batches_per_epoch
             if self._preempted:
                 if metrics is not None and self.ckpt is not None:
                     # the process exits right after: make the save durable
@@ -247,8 +279,17 @@ class Trainer:
 
             val_metrics = None
             if (epoch + 1) % self.check_val_every_n_epoch == 0:
+                if self.clear_cache:
+                    # reference on_validation_start / on_validation_end hooks
+                    from .callbacks import clear_device_caches
+
+                    clear_device_caches(self.log, "val start")
                 val_metrics = self.validate(task, state, val_loader, key, epoch,
                                             reconstruct=True)
+                if self.clear_cache:
+                    from .callbacks import clear_device_caches
+
+                    clear_device_caches(self.log, "val end")
                 self.metrics.update(val_metrics)
                 self.logger.log_metrics(val_metrics, global_step)
 

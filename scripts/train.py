@@ -113,14 +113,14 @@ def train(cfg: dict):
                      gradient_clip_val=trainer_cfg.get("gradient_clip_val"))
 
     logger = MetricsLogger(output_dir, cfg.get("logger"))
-    ckpt_cfg = cfg.get("callbacks", {}).get("model_checkpoint", {})
+    ckpt_cfg = (cfg.get("callbacks") or {}).get("model_checkpoint") or {}
     ckpt = CheckpointManager(
         ckpt_cfg.get("dirpath", os.path.join(output_dir, "checkpoints")),
         save_top_k=ckpt_cfg.get("save_top_k", -1),
         monitor=ckpt_cfg.get("monitor"),
         mode=ckpt_cfg.get("mode", "min"),
     )
-    es = cfg.get("callbacks", {}).get("early_stopping") or {}
+    es = (cfg.get("callbacks") or {}).get("early_stopping") or {}
     # trainer_cfg takes precedence over the callbacks group if both specify
     # early-stopping keys (avoids a duplicate-kwarg crash on CLI overrides)
     es_kwargs = {
@@ -130,8 +130,20 @@ def train(cfg: dict):
     }
     es_kwargs.update({k: v for k, v in trainer_cfg.items() if k in es_kwargs})
     trainer_cfg = {k: v for k, v in trainer_cfg.items() if k not in es_kwargs}
+    # remaining callback analogs (reference configs/callbacks/default.yaml
+    # activates model_checkpoint + rich_progress_bar + clear_cache; the
+    # model_summary group opts into a parameter table at fit start)
+    cb = cfg.get("callbacks") or {}
+    ms = cb.get("model_summary")
+    cb_kwargs = {
+        "model_summary_depth": (ms.get("max_depth", 1) if isinstance(ms, dict)
+                                else (1 if ms else None)),
+        "progress_bar": bool(cb.get("rich_progress_bar")),
+        "clear_cache": bool(cb.get("clear_cache")),
+    }
     trainer = Trainer(
-        output_dir=output_dir, logger=logger, ckpt=ckpt, **es_kwargs, **trainer_cfg,
+        output_dir=output_dir, logger=logger, ckpt=ckpt, **cb_kwargs,
+        **es_kwargs, **trainer_cfg,
     )
 
     state = None

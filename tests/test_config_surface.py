@@ -89,3 +89,18 @@ def test_hparams_search_delegates_to_sweep(tmp_path, monkeypatch):
         assert os.path.exists(os.path.join(tmp_path, "sweep_results.jsonl"))
     finally:
         os.remove(os.path.join(spec_dir, "_test_tiny.yaml"))
+
+
+@pytest.mark.parametrize("name", ["seqs_living", "scenes_living", "tpu",
+                                  "seqs", "scenes", "frame", "scene", "default"])
+def test_every_data_group_composes(name):
+    cfg = compose(CONFIG_DIR, "train", [f"data={name}"])
+    data = cfg["data"]
+    assert data["voxel_size"] > 0
+    if name.endswith("_living"):
+        # living variants swap only the split lists (reference
+        # configs/data/seqs_living.yaml / scenes_living.yaml)
+        assert data["datasets_train"] == ['splits/scannetv2_living_train.txt']
+        assert data["datasets_val"] == ['splits/scannetv2_living_val.txt']
+    if name == "tpu":
+        assert data["cache_items"] is True
