@@ -202,7 +202,7 @@ def render_scene(
     hues = np.array([[0.9, 0.3, 0.2], [0.2, 0.7, 0.9], [0.8, 0.8, 0.2],
                      [0.5, 0.3, 0.8]])
     color = np.zeros((H, W, 3), np.float64)
-    prim_rgb = hues[np.clip(kind, 0, len(hues) - 1) % len(hues)] * lambert[..., None]
+    prim_rgb = hues[np.maximum(kind, 0) % len(hues)] * lambert[..., None]
     floor_rgb = np.stack([0.3 + 0.4 * checker, 0.5 + 0.3 * checker,
                           0.4 + 0.2 * checker], -1)
     color = np.where(prim_closer[..., None], prim_rgb, floor_rgb)

@@ -190,23 +190,49 @@ def prefetch_shard(loader, mesh: Mesh, size: int = 2, extract=None):
     q: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()
     err = []
+    stop = threading.Event()  # consumer abandoned the generator
+
+    def put(item) -> bool:
+        # bounded put that gives up when the consumer is gone, so an
+        # abandoned generator (early break / preemption) can't leave the
+        # worker blocked forever holding decoded+device-resident batches
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for batch in loader:
-                q.put((batch, shard_batch(extract(batch), mesh)))
+                if stop.is_set():
+                    return
+                if not put((batch, shard_batch(extract(batch), mesh))):
+                    return
         except BaseException as e:  # surface loader errors on the consumer
             err.append(e)
         finally:
-            q.put(sentinel)
+            put(sentinel)
 
     t = threading.Thread(target=worker, daemon=True, name="prefetch_shard")
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            t.join()
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                t.join()
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        # runs on GeneratorExit too: release the worker (it may be mid-put)
+        # and drop any batches it already staged
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass

@@ -40,13 +40,16 @@ def _walk(tree: Dict[str, Any], prefix: List[str], rows: Dict[str, Dict[str, Any
         if isinstance(sub, dict):
             _walk(sub, path, rows, max_depth)
             continue
-        arr = sub
+        # shapeless leaves (plain python scalars) count as one f64-sized
+        # parameter; np.asarray gives them a () shape + dtype without
+        # touching device arrays (those already carry both attributes)
+        arr = sub if hasattr(sub, "shape") else np.asarray(sub)
         # aggregate leaves at the configured nesting depth (max_depth=-1
         # keeps every module level, like Lightning's RichModelSummary)
         depth = len(path) - 1 if max_depth < 0 else min(max_depth, len(path) - 1)
         key = "/".join(path[:depth]) or "(root)"
         row = rows.setdefault(key, {"params": 0, "bytes": 0, "dtypes": set()})
-        row["params"] += int(np.prod(arr.shape)) if hasattr(arr, "shape") else 1
+        row["params"] += int(np.prod(arr.shape))
         row["bytes"] += int(np.prod(arr.shape)) * np.dtype(arr.dtype).itemsize
         row["dtypes"].add(str(np.dtype(arr.dtype)))
 

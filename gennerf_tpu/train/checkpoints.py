@@ -40,14 +40,26 @@ class CheckpointManager:
             opts.update(
                 best_fn=lambda metrics: float(metrics[monitor]),
                 best_mode=mode,
-                # epochs without validation save no metrics; keep them out
-                # of the top-k ranking but don't crash on them
-                keep_checkpoints_without_metrics=False,
             )
         self._mgr = ocp.CheckpointManager(
             self.directory, options=ocp.CheckpointManagerOptions(**opts)
         )
         self.save_last = save_last
+        # With a monitor, the ranked manager garbage-collects by metric —
+        # which would delete exactly the checkpoints resume depends on (the
+        # newest epoch when it ranks outside the top-k, and unvalidated /
+        # preemption saves that carry no metric). A separate single-slot
+        # "last" manager holds the newest state unconditionally (the analog
+        # of Lightning's last.ckpt, reference callbacks/default.yaml
+        # save_last). Without a monitor, orbax retention is most-recent-k,
+        # so the latest ranked checkpoint is always retained and no
+        # separate slot is needed.
+        self._last_mgr: Optional[ocp.CheckpointManager] = None
+        if monitor:
+            self._last_mgr = ocp.CheckpointManager(
+                os.path.join(self.directory, "last"),
+                options=ocp.CheckpointManagerOptions(max_to_keep=1, create=True),
+            )
 
     def save(self, epoch: int, state: TrainState,
              config: Optional[Dict[str, Any]] = None,
@@ -59,18 +71,26 @@ class CheckpointManager:
         Every read path (`restore*`, `latest_epoch`, `best_epoch`) and
         `close()` barrier on in-flight saves; pass wait=True where the
         process may exit right after (preemption)."""
-        kwargs = {}
-        if self.monitor:
-            if metrics is not None and self.monitor in metrics:
+        ranked = (not self.monitor
+                  or (metrics is not None and self.monitor in metrics))
+        if ranked:
+            kwargs = {}
+            if self.monitor:
                 kwargs["metrics"] = {self.monitor: float(metrics[self.monitor])}
-            else:
-                # rank unmonitored epochs last so they never displace a
-                # measured checkpoint from the top-k
-                worst = float("inf") if self.mode == "min" else float("-inf")
-                kwargs["metrics"] = {self.monitor: worst}
-        self._mgr.save(epoch, args=ocp.args.StandardSave(state), **kwargs)
+            self._mgr.save(epoch, args=ocp.args.StandardSave(state), **kwargs)
+            # mirror into the last-slot so top-k GC of this epoch can never
+            # strand resume behind an older checkpoint
+            if self._last_mgr is not None and self.save_last:
+                self._last_mgr.save(epoch, args=ocp.args.StandardSave(state))
+        else:
+            # unvalidated epoch (or preemption save) under a monitor: never
+            # enters the ranking — it lands in the last-slot only, so it can
+            # neither displace a measured checkpoint nor be deleted by the
+            # ranked GC before the process exits
+            assert self._last_mgr is not None
+            self._last_mgr.save(epoch, args=ocp.args.StandardSave(state))
         if wait:
-            self._mgr.wait_until_finished()
+            self.wait()
         if config is not None:
             with open(os.path.join(self.directory, "config.json"), "w") as f:
                 json.dump(jax.tree.map(_jsonable, config), f, indent=2, default=str)
@@ -78,13 +98,20 @@ class CheckpointManager:
     def wait(self):
         """Block until all in-flight async saves are durable."""
         self._mgr.wait_until_finished()
+        if self._last_mgr is not None:
+            self._last_mgr.wait_until_finished()
 
     def restore(self, state_template: TrainState, step: Optional[int] = None) -> TrainState:
-        self._mgr.wait_until_finished()
-        step = step if step is not None else self._mgr.latest_step()
+        self.wait()
+        step = step if step is not None else self.latest_epoch()
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
-        return self._mgr.restore(step, args=ocp.args.StandardRestore(state_template))
+        if step in self._mgr.all_steps():
+            return self._mgr.restore(step, args=ocp.args.StandardRestore(state_template))
+        if self._last_mgr is not None and step in self._last_mgr.all_steps():
+            return self._last_mgr.restore(
+                step, args=ocp.args.StandardRestore(state_template))
+        raise FileNotFoundError(f"no checkpoint for epoch {step} in {self.directory}")
 
     def restore_best(self, state_template: TrainState) -> TrainState:
         """Restore the best monitored checkpoint (falls back to latest when
@@ -92,21 +119,28 @@ class CheckpointManager:
         return self.restore(state_template, self.best_epoch())
 
     def latest_epoch(self) -> Optional[int]:
-        self._mgr.wait_until_finished()
-        return self._mgr.latest_step()
+        self.wait()
+        candidates = [s for s in (
+            self._mgr.latest_step(),
+            self._last_mgr.latest_step() if self._last_mgr is not None else None,
+        ) if s is not None]
+        return max(candidates) if candidates else None
 
     def best_epoch(self) -> Optional[int]:
         """Epoch of the best monitored metric; None without a monitor (the
         caller then uses the latest, which is the reference's behavior when
-        ModelCheckpoint has monitor: null)."""
+        ModelCheckpoint has monitor: null) and None when nothing was ever
+        validated (only last-slot saves exist)."""
         if not self.monitor:
             return None
         self._mgr.wait_until_finished()
         return self._mgr.best_step()
 
     def close(self):
-        self._mgr.wait_until_finished()
+        self.wait()
         self._mgr.close()
+        if self._last_mgr is not None:
+            self._last_mgr.close()
 
 
 def _jsonable(x):

@@ -431,6 +431,15 @@ class MetricsLogger:
     def __init__(self, save_dir: str, cfg: Optional[Dict[str, Any]] = None):
         cfg = cfg or {}
         self.scalar_loggers = []
+        if not self._rank0():
+            # non-zero ranks never write (every log_* call below early-
+            # returns), so don't construct backends either: external
+            # trackers (wandb/mlflow/neptune/comet/aim) open a server-side
+            # run at construction time — building them per-process would
+            # create N-1 permanently empty duplicate runs under the
+            # multi-process runtime
+            self.local = LocalWriter(save_dir, mute=True)
+            return
         if "csv" in cfg:
             self.scalar_loggers.append(CSVLogger(cfg["csv"].get("save_dir", save_dir)))
         if "tensorboard" in cfg:

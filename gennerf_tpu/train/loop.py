@@ -255,11 +255,20 @@ class Trainer:
                     # the process exits right after: make the save durable
                     self.ckpt.save(epoch, state, config_snapshot, metrics=None,
                                    wait=True)
-                self.log.info(
-                    f"preempted during epoch {epoch} (step {global_step}): "
-                    "checkpoint saved; resume with ckpt_path= to continue "
-                    f"at epoch {epoch + 1}"
-                )
+                    self.log.info(
+                        f"preempted during epoch {epoch} (step {global_step}): "
+                        "checkpoint saved; resume with ckpt_path= to continue "
+                        f"at epoch {epoch + 1}"
+                    )
+                else:
+                    # nothing completed this epoch, or fit() ran without a
+                    # CheckpointManager — do not claim a save that never
+                    # happened
+                    self.log.info(
+                        f"preempted during epoch {epoch} (step {global_step}): "
+                        "no checkpoint written (no completed step or no "
+                        "checkpoint manager)"
+                    )
                 return state
             dt = time.time() - t_epoch
             if metrics is None:

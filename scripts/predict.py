@@ -114,15 +114,9 @@ def main(argv=None):
     # shares the trainer config group, src/predict.py:70-80): without this
     # the registered TPU plugin is always used, so trainer=cpu inference
     # (e.g. on a host without the accelerator) was impossible
-    import importlib.util
+    from gennerf_tpu.parallel.platform import select_platform
 
-    spec = importlib.util.spec_from_file_location(
-        "_gennerf_train_entry",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "train.py"),
-    )
-    train_entry = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(train_entry)
-    train_entry.select_platform(cfg.get("trainer", {}) or {})
+    select_platform(cfg.get("trainer", {}) or {})
     return predict(cfg)
 
 

@@ -16,47 +16,9 @@ import traceback
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def select_platform(trainer_cfg):
-    import jax
-
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache"),
-    )
-    accel = trainer_cfg.get("accelerator", "auto")
-    # multi-process runtime (reference DDP spawn / ddp_sim): join the
-    # coordination service BEFORE any backend init. Triggered by
-    # trainer.num_nodes > 1 or the GENNERF_NUM_PROCESSES env.
-    num_nodes = int(trainer_cfg.get("num_nodes") or 1)
-    env_procs = os.environ.get("GENNERF_NUM_PROCESSES")
-    if num_nodes > 1 or (env_procs and int(env_procs) > 1):
-        from gennerf_tpu.parallel.distributed import init_distributed
-
-        init_distributed(
-            coordinator_address=trainer_cfg.get("coordinator_address"),
-            num_processes=num_nodes if num_nodes > 1 else None,
-            process_id=(
-                int(trainer_cfg["node_rank"])
-                if trainer_cfg.get("node_rank") is not None
-                else None
-            ),
-            platform="cpu" if accel == "cpu" else None,
-            local_device_count=(
-                int(trainer_cfg["devices"])
-                if accel == "cpu" and isinstance(trainer_cfg.get("devices"), int)
-                else None
-            ),
-        )
-        return
-    if accel == "cpu":
-        devices = trainer_cfg.get("devices")
-        if isinstance(devices, int) and devices > 1:
-            flags = os.environ.get("XLA_FLAGS", "")
-            if "host_platform_device_count" not in flags:
-                os.environ["XLA_FLAGS"] = (
-                    flags + f" --xla_force_host_platform_device_count={devices}"
-                )
-        jax.config.update("jax_platforms", "cpu")
+# platform selection lives in the package so every CLI (train, predict,
+# eval) shares one implementation (gennerf_tpu/parallel/platform.py)
+from gennerf_tpu.parallel.platform import select_platform  # noqa: E402
 
 
 def print_config_tree(cfg: dict, indent: int = 0) -> None:
