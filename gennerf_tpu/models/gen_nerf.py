@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from ..ops.coords import normalize_3d_coordinate, normalize_coordinate
 from ..ops.interpolation import sample_plane_feature, trilinear_interpolation
-from ..ops.projection import backproject, get_3d_points
+from ..ops.projection import backproject_fold, get_3d_points
 from ..ops.sampling import farthest_point_sample
 from .config import GenNerfConfig
 from .heads import TSDFHeadSimple
@@ -55,6 +55,16 @@ class GenNerf(nn.Module):
 
     def setup(self):
         enc = self.cfg.encoder
+        if enc.use_auxiliary and self.teacher is None:
+            # fail fast: encode() would silently drop the auxiliary_dim
+            # channels the decoder's d_in was sized for, surfacing later as
+            # an opaque shape-mismatch deep in ResnetFC (or an empty
+            # concatenate when use_spatial is also off)
+            raise ValueError(
+                "encoder.use_auxiliary=True requires a teacher module "
+                "(pass teacher=make_teacher(cfg) to GenNerf; teacher type "
+                "'none' returns None)"
+            )
         if enc.use_spatial:
             s = enc.spatial
             # remat: recompute the 2D backbone's activations in backward —
@@ -180,36 +190,15 @@ class GenNerf(nn.Module):
             if enc.use_auxiliary and self.teacher is not None:
                 feat_2d.append(self.teacher(images_bt))
             feat_2d = jnp.concatenate(feat_2d, axis=1)  # (B*T, C, H', W')
-            C, Hf, Wf = feat_2d.shape[1:]
-            feat_t = feat_2d.reshape(B, T, C, Hf, Wf).transpose(1, 0, 2, 3, 4)
-            # depth intrinsics scale: features are at H' = H*fs/2; the
-            # reference backprojects with the *original* projection against
-            # the feature map's pixel grid (spatial encoder halves
-            # resolution), so projections must be rescaled to feature pixels.
-            H, W = image.shape[-2:]
-            scale = jnp.array([Wf / W, Hf / H, 1.0], jnp.float32).reshape(1, 3, 1)
-            proj_t = projection.transpose(1, 0, 2, 3) * scale  # (T, B, 3, 4)
-
-            def fold(carry, xs):
-                vol_acc, val_acc = carry
-                proj, feat = xs
-                vol, val = backproject(voxel_dim, cfg.voxel_size, origin, proj, feat)
-                return (vol_acc + vol, val_acc + val), None
-
-            if cfg.remat:
-                # recompute the per-frame backprojection in backward instead
-                # of storing T sets of gather residuals (HBM ∝ T otherwise)
-                fold = jax.checkpoint(fold)
-
-            nx, ny, nz = voxel_dim
-            # accumulator policy (bf16-mixed): the running sum over T frames
-            # stays f32 — bf16 accumulation degrades with sequence length
-            feat_t = feat_t.astype(jnp.float32)
-            init = (
-                jnp.zeros((B, C, nx, ny, nz), jnp.float32),
-                jnp.zeros((B, 1, nx, ny, nz), jnp.float32),
+            # depth intrinsics scale: the reference backprojects the
+            # feature map's pixel grid (the 2D encoder may change
+            # resolution), so backproject_fold rescales the projections to
+            # feature pixels; the T-frame running sum stays f32 (bf16-mixed
+            # accumulator policy).
+            volume, valid = backproject_fold(
+                feat_2d, projection, image.shape[-2:], voxel_dim,
+                cfg.voxel_size, origin, remat=cfg.remat,
             )
-            (volume, valid), _ = jax.lax.scan(fold, init, (proj_t, feat_t))
 
         planes = None
         if enc.use_pointnet:

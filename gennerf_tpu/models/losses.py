@@ -33,7 +33,17 @@ def loss_tsdf(cfg: LossConfig, outputs, targets) -> jnp.ndarray:
 
 def loss_isdf(cfg: LossConfig, outputs, targets) -> jnp.ndarray:
     """iSDF combined free-space/near-surface loss (model.py:360-383;
-    arXiv:2204.02296)."""
+    arXiv:2204.02296).
+
+    Parity note: like the reference, this receives the trilinearly-sampled
+    FUSED-TSDF target (clamped to [-1, 1]; reference model.py:665 — the
+    iSDF ray-bounds alternative is commented out at model.py:666), so the
+    `trgt <= 1.0` gate below is satisfied everywhere and the free-space
+    branch never engages; the loss degenerates to trunc_weight * L1
+    exactly as the reference's does. Kept bit-faithful (the torch-oracle
+    parity tests pin every loss term); feed unclamped iSDF bounds as
+    targets['tsdf'] to activate the free-space term as the iSDF paper
+    intends."""
     pred = outputs["tsdf"]
     trgt = targets["tsdf"]
     c = cfg.isdf
@@ -46,7 +56,15 @@ def loss_isdf(cfg: LossConfig, outputs, targets) -> jnp.ndarray:
 
 
 def loss_eikonal(cfg: LossConfig, outputs, targets) -> jnp.ndarray:
-    """Unit-gradient-norm regularizer (model.py:385-397; arXiv:2002.10099)."""
+    """Unit-gradient-norm regularizer (model.py:385-397; arXiv:2002.10099).
+
+    Parity note: the gate zeroes the term where the FUSED target (negative
+    in observed free space, reference fusion convention) is below
+    apply_distance — i.e. the regularizer acts only on samples at/behind
+    the surface ramp, including the clamp-saturated +1 region. This
+    mirrors the reference's `loss[tsdf < dist] = 0` on the same targets
+    (its own TODO at model.py:396 flags the missing upper gate); kept
+    bit-faithful for the torch-oracle parity tests."""
     tsdf = targets["tsdf"]  # (B, N, 1)
     grad = outputs["grad"]  # (B, N, 3)
     gnorm = jnp.linalg.norm(grad, axis=-1)

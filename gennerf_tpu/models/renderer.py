@@ -172,7 +172,7 @@ def ray_march_tsdf(
                           0.5 * (t_lo + t_hi))
         t_mid = jnp.clip(t_mid, t_lo, t_hi)
         p_mid = origins + dirs * t_mid[..., None]
-        f_mid = tsdf_fn(p_mid.reshape(B, R, 3).reshape(B, R, 3))
+        f_mid = tsdf_fn(p_mid)
         f_mid = f_mid.reshape(B, R)
         go_low = f_mid > 0
         t_lo = jnp.where(go_low, t_mid, t_lo)

@@ -9,10 +9,9 @@ from __future__ import annotations
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
-from ..ops.projection import backproject
+from ..ops.projection import backproject_fold
 from .backbone3d import EncoderDecoder
 from .config import VoxelNetConfig
 from .heads import VoxelHeads
@@ -96,34 +95,10 @@ class VoxelNet(nn.Module):
         B, T = projection.shape[:2]
         images_bt = image.reshape(B * T, *image.shape[2:])
         feat_2d = self.spatial(images_bt, train)  # (B*T, C, H', W')
-        C, Hf, Wf = feat_2d.shape[1:]
-        feat_t = feat_2d.reshape(B, T, C, Hf, Wf).transpose(1, 0, 2, 3, 4)
-        H, W = image.shape[-2:]
-        scale = jnp.array([Wf / W, Hf / H, 1.0], jnp.float32).reshape(1, 3, 1)
-        proj_t = projection.transpose(1, 0, 2, 3) * scale
-
-        def fold(carry, xs):
-            vol_acc, val_acc = carry
-            proj, feat = xs
-            vol, val = backproject(voxel_dim, cfg.voxel_size, origin, proj, feat)
-            return (vol_acc + vol, val_acc + val), None
-
-        if cfg.remat:
-            # recompute the per-frame backprojection in backward instead of
-            # storing T sets of gather residuals (HBM ∝ T otherwise)
-            fold = jax.checkpoint(fold)
-
-        nx, ny, nz = voxel_dim
-        # accumulate in f32 regardless of the compute dtype: the running
-        # sum over T frames is exactly the case bf16 accumulation degrades
-        # (mixed-precision policy, VERDICT round-2 weak #1)
-        acc_dtype = jnp.float32
-        feat_t = feat_t.astype(acc_dtype)
-        init = (
-            jnp.zeros((B, C, nx, ny, nz), acc_dtype),
-            jnp.zeros((B, 1, nx, ny, nz), acc_dtype),
+        volume, valid = backproject_fold(
+            feat_2d, projection, image.shape[-2:], voxel_dim,
+            cfg.voxel_size, origin, remat=cfg.remat,
         )
-        (volume, valid), _ = jax.lax.scan(fold, init, (proj_t, feat_t))
         return VolumeRepr(volume, valid)
 
     def refine(self, repr: VolumeRepr, targets=None, train: bool = False):

@@ -144,3 +144,58 @@ def backproject(
     volume = vol.reshape(B, C, nx, ny, nz)
     valid_vol = valid.astype(features.dtype).reshape(B, 1, nx, ny, nz)
     return volume, valid_vol
+
+
+def backproject_fold(
+    feat_2d: jnp.ndarray,
+    projection: jnp.ndarray,
+    image_hw,
+    voxel_dim,
+    voxel_size: float,
+    origin: jnp.ndarray,
+    remat: bool = False,
+):
+    """Accumulate per-frame 2D features into one feature volume.
+
+    The shared encode fold of GenNerf and VoxelNet (reference
+    model.py:121-127 / voxel_net.py:76-145 accumulate into self.volume /
+    self.valid in a python loop; here it is one `lax.scan` over T with f32
+    accumulators — bf16 running sums degrade with sequence length, so the
+    accumulator dtype is pinned regardless of the model compute dtype).
+
+    Args:
+        feat_2d: (B*T, C, Hf, Wf) encoder features of the folded frame axis.
+        projection: (B, T, 3, 4) world->IMAGE-pixel projections; rescaled
+            here to feature pixels (the 2D encoder may change resolution).
+        image_hw: (H, W) of the ORIGINAL images the projections address.
+        voxel_dim: static (nx, ny, nz).
+        remat: recompute the per-frame backprojection in backward instead
+            of storing T sets of gather residuals (HBM ∝ T otherwise).
+
+    Returns:
+        (volume (B, C, nx, ny, nz) f32, valid (B, 1, nx, ny, nz) f32).
+    """
+    B, T = projection.shape[:2]
+    C, Hf, Wf = feat_2d.shape[1:]
+    H, W = image_hw
+    feat_t = feat_2d.reshape(B, T, C, Hf, Wf).transpose(1, 0, 2, 3, 4)
+    scale = jnp.array([Wf / W, Hf / H, 1.0], jnp.float32).reshape(1, 3, 1)
+    proj_t = projection.transpose(1, 0, 2, 3) * scale  # (T, B, 3, 4)
+
+    def fold(carry, xs):
+        vol_acc, val_acc = carry
+        proj, feat = xs
+        vol, val = backproject(voxel_dim, voxel_size, origin, proj, feat)
+        return (vol_acc + vol, val_acc + val), None
+
+    if remat:
+        fold = jax.checkpoint(fold)
+
+    nx, ny, nz = voxel_dim
+    feat_t = feat_t.astype(jnp.float32)
+    init = (
+        jnp.zeros((B, C, nx, ny, nz), jnp.float32),
+        jnp.zeros((B, 1, nx, ny, nz), jnp.float32),
+    )
+    (volume, valid), _ = jax.lax.scan(fold, init, (proj_t, feat_t))
+    return volume, valid

@@ -186,12 +186,10 @@ def farthest_point_sample(key, xyz: jnp.ndarray, npoint: int,
     """
     B, N, _ = xyz.shape
     if use_pallas is None:
-        import jax as _jax
-
         from .pallas.fps import fps_pallas_supported
 
         use_pallas = (
-            _jax.devices()[0].platform == "tpu"
+            jax.devices()[0].platform == "tpu"
             and fps_pallas_supported(B, N, npoint)
         )
     if use_pallas:
@@ -279,9 +277,12 @@ def bounds_pc_batch(pc: jnp.ndarray, z_vals: jnp.ndarray, depth_sample: jnp.ndar
     Returns:
         bounds (B, n_rays, 1+N+M): distance to the nearest surface point,
             negated behind the surface.
-        grad (B, n_rays, N+M, 3) or None: unit vectors toward the chosen
-            surface point (sign-flipped behind the surface). NaN where a
-            sample coincides with its nearest surface point.
+        grad (B, n_rays, N+M, 3) or None: unit vectors pointing from the
+            chosen surface point TO the sample (negated behind the
+            surface). Callers wanting the toward-surface/normal-aligned
+            direction negate the result, as train/step.py does —
+            reference parity: model.py:671 flips with `-grad_vec`. NaN
+            where a sample coincides with its nearest surface point.
     """
     surf_pc = pc[:, :, 0]  # (B, R, 3)
     diff = pc[:, :, :, None, :] - surf_pc[:, None, None, :, :]  # (B, R, S, R, 3)

@@ -78,6 +78,13 @@ class CSVLogger:
         with open(self.csv_path, "a", newline="") as f:
             csv.DictWriter(f, fieldnames=self._fieldnames).writerow(row)
 
+    def log_hparams(self, hparams: Dict[str, Any]) -> None:
+        """hparams.yaml next to metrics.csv (lightning CSVLogger surface)."""
+        import yaml
+
+        with open(os.path.join(self.dir, "hparams.yaml"), "w") as f:
+            yaml.safe_dump(hparams, f, default_flow_style=False, sort_keys=False)
+
 
 # -- dependency-free TensorBoard event writer --------------------------------
 
@@ -216,6 +223,56 @@ def _summary_value_mesh_tensor(tag: str, name: str, content_type: int,
     )
 
 
+def _pb_pbvalue(v) -> bytes:
+    """google.protobuf.Value (struct.proto): null_value=1 enum,
+    number_value=2 double, string_value=3 string, bool_value=4 bool."""
+    if isinstance(v, bool):
+        return _pb_enum(4, int(v))
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        return _pb_double(2, float(v))
+    if v is None:
+        return _pb_enum(1, 0)
+    return _pb_bytes(3, str(v).encode())
+
+
+def _summary_value_hparams(hparams: Dict[str, Any]) -> bytes:
+    """Summary.Value carrying the hparams plugin's SessionStartInfo — the
+    record TensorBoard's HPARAMS tab reads (what lightning's
+    TensorBoardLogger.log_hyperparams writes via the reference's
+    log_hyperparameters, src/utils/logging_utils.py:12-60).
+
+    plugin_data.proto: HParamsPluginData{version=1, session_start_info=3
+    SessionStartInfo{hparams=1 map<string, google.protobuf.Value>}};
+    map entries encode as repeated {key=1, value=2}. Tag is the plugin's
+    fixed SESSION_START_INFO_TAG."""
+    entries = b"".join(
+        _pb_bytes(1, _pb_bytes(1, k.encode()) + _pb_bytes(2, _pb_pbvalue(v)))
+        for k, v in hparams.items()
+    )
+    session_start = entries + _pb_double(5, time.time())
+    plugin_content = _pb_int(1, 0) + _pb_bytes(3, session_start)
+    plugin = _pb_bytes(1, b"hparams") + _pb_bytes(2, plugin_content)
+    metadata = _pb_bytes(1, plugin)
+    return _pb_bytes(
+        1,
+        _pb_bytes(1, b"_hparams_/session_start_info") + _pb_bytes(9, metadata),
+    )
+
+
+def _flatten_hparams(d: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
+    """Flatten a nested config into dotted scalar keys (lists stringify)."""
+    out: Dict[str, Any] = {}
+    for k, v in d.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(_flatten_hparams(v, key + "."))
+        elif isinstance(v, (str, int, float, bool)) or v is None:
+            out[key] = v
+        else:
+            out[key] = str(v)
+    return out
+
+
 class TensorBoardLogger:
     """Writes real tfevents files without tensorflow/tensorboardX: Event
     protos hand-encoded into TFRecord framing (length + masked-CRC32C),
@@ -265,6 +322,13 @@ class TensorBoardLogger:
         c = 1 if arr.ndim == 2 else arr.shape[2]
         self._write_summary(
             _summary_value_image(tag, encode_png(arr), h, w, c), step
+        )
+
+    def log_hparams(self, hparams: Dict[str, Any]) -> None:
+        """Hyperparameters into the TensorBoard HPARAMS tab (hparams
+        plugin SessionStartInfo; nested configs flatten to dotted keys)."""
+        self._write_summary(
+            _summary_value_hparams(_flatten_hparams(hparams)), step=0
         )
 
     def log_mesh(self, tag: str, vertices: np.ndarray,
@@ -353,6 +417,9 @@ class _WandbLogger:
     def log_metrics(self, metrics: Dict[str, Any], step: int) -> None:
         self.run.log({k: float(v) for k, v in metrics.items()}, step=step)
 
+    def log_hparams(self, hparams: Dict[str, Any]) -> None:
+        self.run.config.update(hparams, allow_val_change=True)
+
 
 class _MlflowLogger:
     """mlflow scalar sink (reference configs/logger/mlflow.yaml)."""
@@ -371,6 +438,9 @@ class _MlflowLogger:
     def log_metrics(self, metrics: Dict[str, Any], step: int) -> None:
         self._m.log_metrics({k: float(v) for k, v in metrics.items()}, step=step)
 
+    def log_hparams(self, hparams: Dict[str, Any]) -> None:
+        self._m.log_params({k: str(v) for k, v in hparams.items()})
+
 
 class _NeptuneLogger:
     """neptune scalar sink (reference configs/logger/neptune.yaml)."""
@@ -387,6 +457,9 @@ class _NeptuneLogger:
         for k, v in metrics.items():
             self.run[k].append(float(v), step=step)
 
+    def log_hparams(self, hparams: Dict[str, Any]) -> None:
+        self.run["parameters"] = hparams
+
 
 class _CometLogger:
     """comet_ml scalar sink (reference configs/logger/comet.yaml)."""
@@ -402,6 +475,9 @@ class _CometLogger:
     def log_metrics(self, metrics: Dict[str, Any], step: int) -> None:
         self.exp.log_metrics({k: float(v) for k, v in metrics.items()}, step=step)
 
+    def log_hparams(self, hparams: Dict[str, Any]) -> None:
+        self.exp.log_parameters(hparams)
+
 
 class _AimLogger:
     """aim scalar sink (reference configs/logger/aim.yaml)."""
@@ -415,6 +491,10 @@ class _AimLogger:
         for k, v in metrics.items():
             self.run.track(float(v), name=k, step=step)
 
+    def log_hparams(self, hparams: Dict[str, Any]) -> None:
+        for k, v in hparams.items():
+            self.run[k] = v
+
 
 _OPTIONAL_BACKENDS = {
     "mlflow": _MlflowLogger,
@@ -422,6 +502,31 @@ _OPTIONAL_BACKENDS = {
     "comet": _CometLogger,
     "aim": _AimLogger,
 }
+
+
+def log_hyperparameters(cfg: Dict[str, Any], params, logger) -> None:
+    """Select the run's hyperparameters and fan them to every logger
+    backend — the reference's log_hyperparameters contract
+    (src/utils/logging_utils.py:12-60): the model/data/trainer/callbacks
+    config subtrees, task metadata (task_name/tags/ckpt_path/seed), and
+    the model's parameter counts (all params are trainable in a flax
+    TrainState; frozen teacher featurizers live outside `params`, so
+    non_trainable is structurally 0 here)."""
+    from .state import param_count
+
+    hparams: Dict[str, Any] = {}
+    if "model" in cfg:
+        hparams["model"] = cfg["model"]
+    n = param_count(params)
+    hparams["model/params/total"] = n
+    hparams["model/params/trainable"] = n
+    hparams["model/params/non_trainable"] = 0
+    for key in ("data", "trainer", "callbacks", "extras"):
+        if cfg.get(key) is not None:
+            hparams[key] = cfg[key]
+    for key in ("task_name", "tags", "ckpt_path", "seed"):
+        hparams[key] = cfg.get(key)
+    logger.log_hparams(hparams)
 
 
 class MetricsLogger:
@@ -489,6 +594,17 @@ class MetricsLogger:
             return
         for lg in self.scalar_loggers:
             lg.log_metrics(metrics, step)
+
+    def log_hparams(self, hparams: Dict[str, Any]) -> None:
+        """Fan the run's hyperparameters out to every backend (tfevents
+        hparams plugin, hparams.yaml next to metrics.csv, external
+        trackers' native param APIs) — the reference's
+        log_hyperparameters fan-out (src/utils/logging_utils.py:12-60)."""
+        if not self._rank0():
+            return
+        for lg in self.scalar_loggers:
+            if hasattr(lg, "log_hparams"):
+                lg.log_hparams(hparams)
 
     def log_image(self, tag: str, image, step: int = 0) -> None:
         """Fan an image out to every backend that can take one (currently

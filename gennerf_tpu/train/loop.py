@@ -164,6 +164,12 @@ class Trainer:
                 "model summary:\n"
                 + summarize_params(state.params, self.model_summary_depth)
             )
+        if config_snapshot is not None:
+            # reference log_hyperparameters (logging_utils.py:12-60): config
+            # subtrees + param counts into every logger backend at fit start
+            from .loggers import log_hyperparameters
+
+            log_hyperparameters(config_snapshot, state.params, self.logger)
 
         start_epoch = 0
         if ckpt_path:

@@ -217,6 +217,73 @@ def test_metrics_logger_mesh_image_fanout(tmp_path):
     assert len(recs) == 3  # header + mesh event + image event
 
 
+def test_tfevents_hparams_summary(tmp_path):
+    """Byte-level: log_hparams writes the hparams plugin's
+    SessionStartInfo under its fixed tag (the surface lightning's
+    log_hyperparams puts in the HPARAMS tab)."""
+    tb = TensorBoardLogger(str(tmp_path / "hp"))
+    tb.log_hparams({"model": {"type": "gen_nerf", "mlp": {"d_hidden": 512}},
+                    "seed": 7, "trainer": {"precision": "bf16-mixed"},
+                    "flag": True})
+
+    rec = _read_records(tb.path)[-1]
+    ev = {f: v for f, _, v in _decode_fields(rec)}
+    value = {f: v for f, _, v in
+             _decode_fields(_decode_fields(ev[5])[0][2])}
+    assert value[1] == b"_hparams_/session_start_info"
+    md = {f: v for f, _, v in _decode_fields(value[9])}
+    plugin = {f: v for f, _, v in _decode_fields(md[1])}
+    assert plugin[1] == b"hparams"
+    # HParamsPluginData.session_start_info (3) -> hparams map (1)
+    pd = {}
+    for f, _, v in _decode_fields(plugin[2]):
+        pd.setdefault(f, []).append(v)
+    entries = {}
+    for entry in _decode_fields(pd[3][0]):
+        if entry[0] != 1:
+            continue  # start_time_secs
+        kv = {f: v for f, _, v in _decode_fields(entry[2])}
+        val = _decode_fields(kv[2])[0]
+        entries[kv[1].decode()] = val
+    # nested keys flatten to dots; types map onto google.protobuf.Value
+    assert entries["model.type"] == (3, 2, b"gen_nerf")       # string_value
+    assert entries["model.mlp.d_hidden"] == (2, 1, 512.0)     # number_value
+    assert entries["seed"] == (2, 1, 7.0)
+    assert entries["trainer.precision"] == (3, 2, b"bf16-mixed")
+    assert entries["flag"] == (4, 0, 1)                       # bool_value
+
+
+def test_metrics_logger_hparams_fanout(tmp_path):
+    """MetricsLogger.log_hparams lands in both hparams.yaml (lightning
+    CSVLogger surface) and the tfevents file; log_hyperparameters selects
+    the reference's keys (logging_utils.py:12-60) incl. param counts."""
+    import yaml
+
+    import jax.numpy as jnp
+    from gennerf_tpu.train.loggers import log_hyperparameters
+
+    lg = MetricsLogger(str(tmp_path), {"tensorboard": {"save_dir": str(tmp_path)},
+                                       "csv": {"save_dir": str(tmp_path)}})
+    cfg = {"model": {"type": "gen_nerf"}, "data": {"batch_size": 2},
+           "trainer": {"max_epochs": 3}, "task_name": "train",
+           "tags": ["dev"], "seed": 1}
+    params = {"dense": {"kernel": jnp.zeros((4, 8)), "bias": jnp.zeros((8,))}}
+    log_hyperparameters(cfg, params, lg)
+
+    hp_path = os.path.join(tmp_path, "csv", "hparams.yaml")
+    assert os.path.exists(hp_path)
+    with open(hp_path) as f:
+        saved = yaml.safe_load(f)
+    assert saved["model"] == {"type": "gen_nerf"}
+    assert saved["model/params/total"] == 40
+    assert saved["model/params/trainable"] == 40
+    assert saved["model/params/non_trainable"] == 0
+    assert saved["tags"] == ["dev"] and saved["seed"] == 1
+    assert saved["ckpt_path"] is None  # reference logs absent keys as null
+    tb = [l for l in lg.scalar_loggers if isinstance(l, TensorBoardLogger)][0]
+    assert len(_read_records(tb.path)) == 2  # header + hparams event
+
+
 def test_optional_backends_gated(tmp_path):
     """mlflow/neptune/comet/aim configs degrade to a warning when the lib
     is absent (reference configs/logger parity without forced installs)."""

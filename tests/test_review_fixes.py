@@ -131,6 +131,42 @@ class TestLoggerRankGating:
         assert lg.local.mute is True
 
 
+class TestAuxWithoutTeacherFailsFast:
+    def test_use_auxiliary_without_teacher_raises_at_init(self):
+        """use_auxiliary without a teacher previously surfaced hundreds of
+        frames later as an opaque ResnetFC shape mismatch."""
+        import jax
+
+        from gennerf_tpu.models import GenNerf
+        from gennerf_tpu.models.config import (
+            CodeConfig, EncoderConfig, GenNerfConfig, MlpConfig, PointnetConfig,
+        )
+
+        cfg = GenNerfConfig(
+            voxel_size=0.08,
+            voxel_dim_train=(8, 8, 4), voxel_dim_val=(8, 8, 4),
+            voxel_dim_test=(8, 8, 4),
+            encoder=EncoderConfig(
+                use_spatial=False, use_pointnet=True, use_auxiliary=True,
+                auxiliary_dim=16,
+                pointnet=PointnetConfig(num_sparse_points=16, c_dim=8,
+                                        hidden_dim=8, plane_resolution=8,
+                                        n_blocks=2, unet=False),
+            ),
+            mlp=MlpConfig(d_out_sem=4, d_out_geo=4, n_blocks=2, d_hidden=16),
+            code=CodeConfig(num_freqs=2, freq_factor=0.5),
+        )
+        model = GenNerf(cfg)  # teacher=None
+        proj = jnp.zeros((1, 1, 3, 4)); proj = proj.at[:, :, 2, 2].set(1.0)
+        with pytest.raises(ValueError, match="use_auxiliary.*teacher"):
+            model.init(
+                jax.random.PRNGKey(0), proj, jnp.zeros((1, 1, 3, 8, 8)),
+                jnp.ones((1, 1, 8, 8)), jnp.zeros((1, 8, 3)),
+                jax.random.PRNGKey(1), cfg.voxel_dim_train,
+                jnp.zeros(3), train=False,
+            )
+
+
 class TestSharedPlatformSelector:
     def test_cli_entries_share_package_select_platform(self):
         import sys
