@@ -117,6 +117,10 @@ def main(argv=None):
     from gennerf_tpu.parallel.platform import select_platform
 
     select_platform(cfg.get("trainer", {}) or {})
+    # pre-task utilities (reference src/predict.py:98 calls extras too)
+    from gennerf_tpu.utils.console import extras
+
+    extras(cfg)
     return predict(cfg)
 
 

@@ -21,23 +21,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from gennerf_tpu.parallel.platform import select_platform  # noqa: E402
 
 
-def print_config_tree(cfg: dict, indent: int = 0) -> None:
-    """Plain-text config tree at startup (reference rich_utils.print_config_tree)."""
-    for key, value in cfg.items():
-        if isinstance(value, dict):
-            print("  " * indent + f"{key}:")
-            print_config_tree(value, indent + 1)
-        else:
-            print("  " * indent + f"{key}: {value}")
-
-
 def train(cfg: dict):
     """Reference train() equivalent (src/train.py:45-127)."""
     select_platform(cfg.get("trainer", {}))
-    if cfg.get("print_config", True):
-        print("=" * 30 + " config " + "=" * 30)
-        print_config_tree(cfg)
-        print("=" * 68)
+    # optional pre-task utilities: warnings filter, tag enforcement,
+    # config-tree print + config_tree.log (reference src/train.py:139 ->
+    # utils.extras); legacy top-level print_config=false still silences
+    from gennerf_tpu.utils.console import extras
+
+    if cfg.get("print_config") is False and cfg.get("extras"):
+        cfg["extras"] = dict(cfg["extras"], print_config=False)
+    extras(cfg)
 
     import jax
 

@@ -104,3 +104,73 @@ def test_every_data_group_composes(name):
         assert data["datasets_val"] == ['splits/scannetv2_living_val.txt']
     if name == "tpu":
         assert data["cache_items"] is True
+
+
+# -- extras group (reference configs/extras/default.yaml + utils.extras) ------
+
+
+def test_extras_group_composes_into_train_and_predict():
+    cfg = compose(CONFIG_DIR, "train", [])
+    assert cfg["extras"] == {"ignore_warnings": False, "enforce_tags": True,
+                             "print_config": True}
+    cfg = compose(CONFIG_DIR, "predict", [])
+    assert cfg["extras"]["enforce_tags"] is True
+
+
+def test_extras_applies_utilities(tmp_path, capsys):
+    """extras() = warnings filter + tag enforcement (tags.log) + config
+    tree print (config_tree.log) — reference src/utils/utils.py:17-49."""
+    import warnings
+
+    from gennerf_tpu.utils.console import extras
+
+    cfg = {
+        "extras": {"ignore_warnings": True, "enforce_tags": True,
+                   "print_config": True},
+        "paths": {"output_dir": str(tmp_path)},
+        "model": {"type": "gen_nerf"},
+        "data": {"batch_size": 2},
+        "tags": None,  # forces the enforce_tags path (non-tty -> ['dev'])
+    }
+    with warnings.catch_warnings():
+        warnings.resetwarnings()
+        extras(cfg)
+        # ignore_warnings installed a blanket ignore filter
+        assert warnings.filters[0][0] == "ignore"
+    assert cfg["tags"] == ["dev"]  # reference Prompt.ask default
+    assert (tmp_path / "tags.log").read_text().strip() == "['dev']"
+    tree = (tmp_path / "config_tree.log").read_text()
+    out = capsys.readouterr().out
+    assert tree in out or tree == out  # printed AND persisted
+    # print_order parity: data before model before paths before extras
+    assert tree.index("├── data") < tree.index("├── model") \
+        < tree.index("├── paths") < tree.index("├── extras")
+    # non-ordered keys (tags) come after the ordered groups
+    assert tree.index("├── extras") < tree.index("├── tags")
+
+
+def test_extras_absent_is_noop(tmp_path):
+    from gennerf_tpu.utils.console import extras
+
+    cfg = {"paths": {"output_dir": str(tmp_path)}, "tags": ["x"]}
+    extras(cfg)  # warns, returns; writes nothing
+    assert not (tmp_path / "config_tree.log").exists()
+    assert not (tmp_path / "tags.log").exists()
+
+
+@pytest.mark.parametrize("silence,expect_tree", [(True, False), (False, True)])
+def test_train_cli_legacy_print_config_flag(tmp_path, capsys, silence,
+                                            expect_tree):
+    """Top-level print_config=false still silences the tree (pre-extras CLI
+    surface kept working); default composition prints it. Exercised through
+    the real train() entry (a bad data_dir aborts right after extras)."""
+    import scripts.train as train_cli
+
+    overrides = [f"paths.output_dir={tmp_path}", "data.data_dir=/nonexistent"]
+    if silence:
+        overrides.append("print_config=false")
+    cfg = compose(CONFIG_DIR, "train", overrides)
+    with pytest.raises(Exception):
+        train_cli.train(cfg)
+    out = capsys.readouterr().out
+    assert ("CONFIG" in out) == expect_tree
