@@ -129,23 +129,12 @@ def get_baseline() -> dict:
 
 
 def _accelerator_reachable(timeout_s: float = 300.0) -> bool:
-    """Probe backend initialization in a subprocess with a hard timeout.
+    """Bounded subprocess backend probe (shared with
+    __graft_entry__.dryrun_multichip — one policy for timeouts/parsing)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from gennerf_tpu.parallel.platform import probe_backend
 
-    The tunneled TPU plugin can HANG (not fail) jax.devices() indefinitely
-    when the tunnel is down; probing in-process would wedge the whole
-    benchmark. The generous timeout covers the documented multi-minute
-    first-contact warm-up of a healthy tunnel."""
-    import subprocess
-
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; jax.devices(); print('BACKEND_OK')"],
-            capture_output=True, text=True, timeout=timeout_s,
-        )
-        return r.returncode == 0 and "BACKEND_OK" in r.stdout
-    except subprocess.TimeoutExpired:
-        return False
+    return probe_backend(timeout_s) is not None
 
 
 def main():
@@ -216,55 +205,55 @@ def main():
     # to the XLA path off-TPU / for unsupported configs.
     from gennerf_tpu.train.predict import decode_grid_separable_xla
 
-    try:
-        decode_grid_fused(model, variables, repr_, VOXEL_DIM, cfg.voxel_size, origin)
+    def _pallas(_):
+        return decode_grid_fused(
+            model, variables, repr_, VOXEL_DIM, cfg.voxel_size, origin
+        )
 
-        def decode(_):
-            return decode_grid_fused(
-                model, variables, repr_, VOXEL_DIM, cfg.voxel_size, origin
-            )
+    def _separable(_):
+        return decode_grid_separable_xla(
+            model, variables, repr_, VOXEL_DIM, cfg.voxel_size, origin
+        )
 
-        path = "pallas-grid"
-    except NotImplementedError:
-        # off-TPU (or a Mosaic-illegal tile): the same tier order the
-        # production dispatcher (predict_tsdf_volume) walks — separable
-        # XLA tables first, chunked gather last
+    _pts_cache = []
+
+    def _gather(_):
+        if not _pts_cache:  # built once — not part of the timed decode
+            _pts_cache.append(
+                dense_grid_points(VOXEL_DIM, cfg.voxel_size, np.zeros(3)))
+        return decode_dense(model, variables, repr_, _pts_cache[0], origin,
+                            chunk_size)
+
+    # walk the same tier order the production dispatcher
+    # (predict_tsdf_volume) walks; the first tier that runs IS the warmup —
+    # an eligibility probe would execute a full 6.3M-pt decode only to
+    # discard it (minutes on the 1-core CPU fallback path)
+    tsdf = None
+    for path, decode in (("pallas-grid", _pallas),
+                         ("separable-xla", _separable),
+                         ("xla-gather", _gather)):
         try:
-            decode_grid_separable_xla(
-                model, variables, repr_, VOXEL_DIM, cfg.voxel_size, origin)
-
-            def decode(_):
-                return decode_grid_separable_xla(
-                    model, variables, repr_, VOXEL_DIM, cfg.voxel_size, origin
-                )
-
-            path = "separable-xla"
+            tsdf = decode(None)  # compile + warmup
+            break
         except NotImplementedError:
-            pts = dense_grid_points(VOXEL_DIM, cfg.voxel_size, np.zeros(3))
+            continue
+    assert tsdf is not None, "no decode tier eligible"
 
-            def decode(_):
-                return decode_dense(model, variables, repr_, pts, origin, chunk_size)
-
-            path = "xla-gather"
-
-    # compile + warmup; NOTE: on the tunneled TPU platform block_until_ready
-    # returns before remote execution completes, so timings force a host
-    # fetch of the result (a sum) to guarantee end-to-end completion.
+    # NOTE: on the tunneled TPU platform block_until_ready returns before
+    # remote execution completes, so timings force a host fetch of the
+    # result (a sum) to guarantee end-to-end completion.
     # Each trial chains REP decodes and fetches ONE accumulated scalar:
     # the tunnel round-trip (tens of ms here — comparable to the decode
     # itself) amortizes over REP, matching the production regime of
     # back-to-back volume decodes. Round-1's single-shot timing
     # under-reported the kernel ~2x for exactly this reason (BENCH.md).
-    tsdf = decode(None)
-    float(tsdf.sum())
+    float(tsdf.sum())  # compiles the .sum() chain used in the timing loop
     # REP amortizes the tunnel round-trip; off-TPU (the CPU fallback when
     # the tunnel is unreachable) there is no RTT to amortize and a single
     # 6.3M-pt decode is ~4.4 TFLOPs on one host core — keep the fallback
     # bounded at a few decodes
     on_tpu = platform == "tpu"
     REP = 10 if on_tpu else 2
-    acc = decode(None).sum()  # compile the .sum() chain too
-    float(acc)
     times = []
     for _ in range(3 if on_tpu else 1):
         t0 = time.perf_counter()

@@ -13,6 +13,50 @@ import os
 from typing import Any, Dict
 
 
+def probe_backend(timeout_s: float = 300.0):
+    """Initialize the default JAX backend in a SUBPROCESS with a hard
+    timeout; return its device count, or None if the backend is unhealthy.
+
+    The tunneled TPU plugin can HANG (not fail) jax.devices() indefinitely
+    when the tunnel is down, and a chip held by a concurrent process makes
+    init raise — probing in-process would wedge or crash the caller. The
+    generous timeout covers the documented multi-minute first-contact
+    warm-up of a healthy tunnel. rc==0 AND the NDEV sentinel are both
+    required so a crashing probe that happens to print a bare number is
+    not misread as a healthy device count.
+    """
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print('NDEV', jax.device_count())"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    if r.returncode != 0:
+        return None
+    for line in r.stdout.splitlines():
+        parts = line.split()
+        if len(parts) == 2 and parts[0] == "NDEV" and parts[1].isdigit():
+            return int(parts[1])
+    return None
+
+
+def is_rank0() -> bool:
+    """rank_zero_only gate shared by loggers/console/artifact writers:
+    True unless a multi-process jax runtime reports a non-zero index
+    (before any init, or on error, defaults to True)."""
+    try:
+        import jax
+
+        return jax.process_index() == 0
+    except Exception:
+        return True
+
+
 def select_platform(trainer_cfg: Dict[str, Any]) -> None:
     """Apply the trainer config's platform choices to this process.
 

@@ -579,12 +579,9 @@ class MetricsLogger:
 
     @staticmethod
     def _rank0() -> bool:
-        try:
-            import jax
+        from ..parallel.platform import is_rank0
 
-            return jax.process_index() == 0
-        except Exception:
-            return True
+        return is_rank0()
 
     def log_metrics(self, metrics: Dict[str, Any], step: int) -> None:
         # rank-0-only file writes under the multi-process runtime (the

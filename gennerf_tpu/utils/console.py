@@ -22,14 +22,10 @@ DEFAULT_PRINT_ORDER: Sequence[str] = (
 
 
 def _rank0() -> bool:
-    """rank_zero_only analog: True unless a multi-process jax runtime is
-    already initialized with a non-zero index."""
-    try:
-        import jax
+    """rank_zero_only analog (shared gate in parallel.platform.is_rank0)."""
+    from ..parallel.platform import is_rank0
 
-        return jax.process_index() == 0
-    except Exception:
-        return True
+    return is_rank0()
 
 
 def format_config_tree(
@@ -86,7 +82,9 @@ def enforce_tags(cfg: Dict[str, Any], save_to_file: bool = False) -> None:
 
     log = get_logger()
     if not cfg.get("tags"):
-        if sys.stdin is not None and sys.stdin.isatty():
+        # only rank 0 may touch stdin (the reference gates the whole
+        # function @rank_zero_only); other ranks take the default silently
+        if _rank0() and sys.stdin is not None and sys.stdin.isatty():
             log.warning("No tags provided in config. Prompting user...")
             raw = input("Enter a list of comma separated tags [dev]: ") or "dev"
         else:

@@ -177,3 +177,103 @@ class TestSharedPlatformSelector:
         from gennerf_tpu.parallel.platform import select_platform
 
         assert train_cli.select_platform is select_platform
+
+
+class TestBackendProbe:
+    """probe_backend (shared by bench.py and __graft_entry__): rc and the
+    NDEV sentinel are both required; stray digits in a crashing child's
+    stdout must not read as a healthy device count."""
+
+    def _fake_run(self, rc, stdout):
+        class R:
+            returncode = rc
+
+        R.stdout = stdout
+        return lambda *a, **k: R()
+
+    def test_crash_with_digits_is_unhealthy(self, monkeypatch):
+        import subprocess
+
+        from gennerf_tpu.parallel import platform as plat
+
+        monkeypatch.setattr(subprocess, "run",
+                            self._fake_run(1, "loaded 8 plugins\nNDEV 8\n"))
+        assert plat.probe_backend(1.0) is None
+
+    def test_digits_without_sentinel_are_ignored(self, monkeypatch):
+        import subprocess
+
+        from gennerf_tpu.parallel import platform as plat
+
+        monkeypatch.setattr(subprocess, "run",
+                            self._fake_run(0, "warning: 8 things\n"))
+        assert plat.probe_backend(1.0) is None
+
+    def test_healthy_probe_parses_count(self, monkeypatch):
+        import subprocess
+
+        from gennerf_tpu.parallel import platform as plat
+
+        monkeypatch.setattr(
+            subprocess, "run",
+            self._fake_run(0, "Platform 'axon' is experimental\nNDEV 4\n"))
+        assert plat.probe_backend(1.0) == 4
+
+    def test_timeout_is_unhealthy(self, monkeypatch):
+        import subprocess
+
+        from gennerf_tpu.parallel import platform as plat
+
+        def boom(*a, **k):
+            raise subprocess.TimeoutExpired(cmd="x", timeout=1.0)
+
+        monkeypatch.setattr(subprocess, "run", boom)
+        assert plat.probe_backend(1.0) is None
+
+
+class TestEnforceTagsRankGate:
+    def test_nonzero_rank_never_prompts(self, monkeypatch, tmp_path):
+        """Only rank 0 may touch stdin (reference @rank_zero_only
+        enforce_tags); other ranks take ['dev'] silently even on a tty."""
+        import gennerf_tpu.utils.console as console
+
+        monkeypatch.setattr(console, "_rank0", lambda: False)
+
+        class TTY:
+            def isatty(self):
+                return True
+
+        monkeypatch.setattr("sys.stdin", TTY())
+        monkeypatch.setattr(
+            "builtins.input",
+            lambda *a: (_ for _ in ()).throw(AssertionError("prompted")))
+        cfg = {"tags": None, "paths": {"output_dir": str(tmp_path)}}
+        console.enforce_tags(cfg, save_to_file=True)
+        assert cfg["tags"] == ["dev"]
+        # the tags.log write is also rank-gated
+        assert not (tmp_path / "tags.log").exists()
+
+
+class TestBenchTierWalk:
+    def test_bench_main_smoke_small_grid(self, monkeypatch, capsys):
+        """bench.main end-to-end on CPU with a tiny grid: the tier walk
+        lands on an eligible decode (no discarded probe decodes) and the
+        printed line is the driver's one-JSON contract."""
+        import json as _json
+
+        import bench
+
+        monkeypatch.setattr(bench, "VOXEL_DIM", (16, 16, 8))
+        monkeypatch.setattr(bench, "_accelerator_reachable", lambda *a: False)
+        # keep the fixture cheap: tiny flagship stand-in
+        import __graft_entry__ as ge
+
+        orig = ge._flagship_cfg
+        monkeypatch.setattr(ge, "_flagship_cfg",
+                            lambda tiny=False: orig(tiny=True))
+        bench.main()
+        line = [l for l in capsys.readouterr().out.splitlines()
+                if l.startswith("{")][-1]
+        rec = _json.loads(line)
+        assert rec["unit"] == "points/s" and rec["value"] > 0
+        assert "cpu/" in rec["metric"]
