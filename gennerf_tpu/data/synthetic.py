@@ -114,6 +114,29 @@ def render_scene(
             n[sel, a_i] = -np.sign(d[sel, a_i])
         return t, n
 
+    def hit_room(bmin, bmax):
+        """Interior of an axis-aligned box: walls/ceiling/floor seen from
+        INSIDE (the ScanNet regime — cameras in the room looking across).
+        One-sided: a camera outside the shell sees no hit, so the
+        generator must place cameras inside the room bounds."""
+        bmin = np.asarray(bmin, np.float64)
+        bmax = np.asarray(bmax, np.float64)
+        if not (np.all(o > bmin) and np.all(o < bmax)):
+            return np.full((H, W), np.inf), np.zeros((H, W, 3))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            inv = 1.0 / d
+            t0 = (bmin - o) * inv
+            t1 = (bmax - o) * inv
+        t_far_ax = np.maximum(t0, t1)
+        t_far = t_far_ax.min(-1)  # exit face = the visible wall
+        t = np.where(t_far > 1e-6, t_far, np.inf)
+        axis = np.argmin(t_far_ax, axis=-1)
+        n = np.zeros(d.shape)
+        for a_i in range(3):
+            sel = axis == a_i
+            n[sel, a_i] = -np.sign(d[sel, a_i])  # inward, opposing the ray
+        return t, n
+
     def hit_cylinder(center, radius, z0, z1):
         """Vertical (z-axis) capped cylinder; center = (cx, cy)."""
         cx, cy = float(center[0]), float(center[1])
@@ -173,6 +196,8 @@ def render_scene(
         elif prim["type"] == "cylinder":
             t_p, n_p = hit_cylinder(prim["center"], prim["radius"],
                                     prim["z0"], prim["z1"])
+        elif prim["type"] == "room":
+            t_p, n_p = hit_room(prim["min"], prim["max"])
         else:
             raise ValueError(prim["type"])
         closer = t_p < t_best
@@ -212,8 +237,36 @@ def render_scene(
 
 def random_primitives(rng, family: str = "spheres", n_min: int = 1, n_max: int = 3):
     """Random scene content for a geometry family ('spheres' | 'boxes' |
-    'cylinders' | 'mixed'): primitives resting on/near the floor inside the
-    ~3.2 m volume the generator fuses. 'mixed' cycles the three types."""
+    'cylinders' | 'mixed' | 'rooms'): primitives resting on/near the floor
+    inside the ~3.2 m volume the generator fuses. 'mixed' cycles the three
+    object types. 'rooms' is the indoor regime the reference targets
+    (ScanNet): a wall shell seen from inside plus furniture-like objects —
+    cameras must be INSIDE the shell (generate_scene's room camera policy
+    handles it; see ROOM_CAMERA)."""
+    if family == "rooms":
+        hx, hy = (float(v) for v in rng.uniform(1.15, 1.5, 2))
+        h = float(rng.uniform(1.5, 2.0))
+        prims = [{"type": "room", "min": (-hx, -hy, 0.0), "max": (hx, hy, h)}]
+        # furniture: the object families, kept clear of the walls
+        for i in range(int(rng.integers(n_min, n_max + 1))):
+            cx = float(rng.uniform(-(hx - 0.55), hx - 0.55))
+            cy = float(rng.uniform(-(hy - 0.55), hy - 0.55))
+            kind = ("boxes", "cylinders", "spheres")[i % 3]
+            if kind == "spheres":
+                r = float(rng.uniform(0.15, 0.3))
+                prims.append({"type": "sphere", "center": (cx, cy, r),
+                              "radius": r})
+            elif kind == "cylinders":
+                r = float(rng.uniform(0.12, 0.3))
+                prims.append({"type": "cylinder", "center": (cx, cy),
+                              "radius": r, "z0": 0.0,
+                              "z1": float(rng.uniform(0.3, 0.9))})
+            else:
+                sx, sy, sz = rng.uniform(0.2, 0.6, 3)
+                prims.append({"type": "box",
+                              "min": (cx - sx / 2, cy - sy / 2, 0.0),
+                              "max": (cx + sx / 2, cy + sy / 2, float(sz))})
+        return prims
     prims = []
     n = int(rng.integers(n_min, n_max + 1))
     for i in range(n):
@@ -282,6 +335,20 @@ def generate_scene(
         if primitives is None
         else np.array([0.0, 0.0, 0.4])
     )
+    # ROOM_CAMERA: a room shell is one-sided (walls render from inside
+    # only) — clamp the camera ring inside the shell with margin and aim
+    # across the room (the ScanNet capture regime)
+    room = next((p for p in (primitives or []) if p["type"] == "room"), None)
+    if room is not None:
+        bmin = np.asarray(room["min"], np.float64)
+        bmax = np.asarray(room["max"], np.float64)
+        ctr = 0.5 * (bmin + bmax)
+        half_xy = 0.5 * (bmax[:2] - bmin[:2])
+        camera_radius = min(camera_radius, 0.65 * float(half_xy.min()))
+        camera_height = min(
+            camera_height, float(bmin[2] + 0.75 * (bmax[2] - bmin[2]))
+        )
+        target = np.array([ctr[0], ctr[1], 0.45 * (bmax[2] - bmin[2])])
     for i in range(num_frames):
         ang = 2 * np.pi * i / num_frames + 0.01 * rng.standard_normal()
         eye = np.array([

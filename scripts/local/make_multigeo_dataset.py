@@ -36,7 +36,9 @@ def main(argv=None):
     parser.add_argument("--voxel-sizes", type=int, nargs="+", default=[4, 8])
     parser.add_argument("--families", default="spheres,boxes",
                         help="comma list of geometry families to cycle "
-                             "(spheres|boxes|cylinders); default preserves "
+                             "(spheres|boxes|cylinders|rooms — rooms is the "
+                             "ScanNet-like indoor regime: wall shell viewed "
+                             "from inside + furniture); default preserves "
                              "the round-3 benchmarked 2-family protocol")
     args = parser.parse_args(argv)
     families = args.families.split(",")

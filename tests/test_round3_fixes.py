@@ -480,3 +480,78 @@ class TestCylinderFamily:
         rng = np.random.default_rng(0)
         prims = random_primitives(rng, "mixed", n_min=3, n_max=3)
         assert {p["type"] for p in prims} == {"sphere", "box", "cylinder"}
+
+
+class TestRoomFamily:
+    """Fourth analytic geometry family: room interiors (the ScanNet-like
+    regime — wall shell seen from inside + furniture)."""
+
+    def test_room_depth_analytic(self):
+        from gennerf_tpu.data.synthetic import look_at_pose, render_scene
+
+        H, W = 32, 32
+        K = np.array([[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]], np.float32)
+        # camera at x=-1 inside a [-1.5, 1.5]^2 x [0, 2] room looking +x:
+        # the center ray exits at the x=+1.5 wall, camera depth 2.5
+        pose = look_at_pose([-1.0, 0.0, 1.0], [1.5, 0.0, 1.0])
+        prims = [{"type": "room", "min": (-1.5, -1.5, 0.0),
+                  "max": (1.5, 1.5, 2.0)}]
+        d, _ = render_scene(H, W, K, pose, primitives=prims)
+        assert abs(float(d[H // 2, W // 2]) - 2.5) < 1e-3
+
+    def test_room_is_one_sided(self):
+        """A camera OUTSIDE the shell sees no walls (the contract the
+        camera policy must respect)."""
+        from gennerf_tpu.data.synthetic import look_at_pose, render_scene
+
+        H, W = 16, 16
+        K = np.array([[20.0, 0, W / 2], [0, 20.0, H / 2], [0, 0, 1]], np.float32)
+        pose = look_at_pose([-5.0, 0.0, 1.0], [0.0, 0.0, 1.0])
+        prims = [{"type": "room", "min": (-1.5, -1.5, 0.5),
+                  "max": (1.5, 1.5, 2.0)}]  # lifted: no floor-plane hits
+        d, _ = render_scene(H, W, K, pose, floor_z=-10.0, primitives=prims)
+        assert float(d[H // 2, W // 2]) == 0.0  # no hit on the center ray
+
+    def test_room_furniture_occludes_walls(self):
+        from gennerf_tpu.data.synthetic import look_at_pose, render_scene
+
+        H, W = 32, 32
+        K = np.array([[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]], np.float32)
+        pose = look_at_pose([-1.0, 0.0, 0.3], [1.5, 0.0, 0.3])
+        prims = [
+            {"type": "room", "min": (-1.5, -1.5, 0.0), "max": (1.5, 1.5, 2.0)},
+            {"type": "box", "min": (0.4, -0.3, 0.0), "max": (0.8, 0.3, 0.7)},
+        ]
+        d, _ = render_scene(H, W, K, pose, primitives=prims)
+        # center ray hits the furniture front face (x=0.4) at depth 1.4
+        assert abs(float(d[H // 2, W // 2]) - 1.4) < 1e-3
+
+    def test_rooms_family_generates_and_fuses(self, tmp_path):
+        """random_primitives('rooms') + generate_scene: the camera policy
+        clamps the ring inside the shell; the fused GT has surface at the
+        walls (negative behind, positive in the room air)."""
+        import json
+
+        from gennerf_tpu.data.synthetic import generate_scene, random_primitives
+
+        rng = np.random.default_rng(5)
+        prims = random_primitives(rng, "rooms")
+        assert prims[0]["type"] == "room" and len(prims) >= 2
+        info = generate_scene(str(tmp_path), scene="scene_room0", num_frames=6,
+                              H=32, W=40, voxel_sizes=(16,), primitives=prims)
+        meta = json.load(open(info))
+        # every camera is inside the shell
+        bmin = np.asarray(prims[0]["min"]); bmax = np.asarray(prims[0]["max"])
+        for fr in meta["frames"]:
+            eye = np.asarray(fr["pose"])[:3, 3]
+            assert (eye > bmin).all() and (eye < bmax).all()
+        from gennerf_tpu.tsdf import TSDF
+
+        v = np.asarray(TSDF.load(meta["file_name_vol_16"]).tsdf_vol)
+        assert (v < 0).any() and (v > 0).any()
+        # depth frames actually see walls: valid pixels at meaningful range
+        from gennerf_tpu.utils.image import read_image
+
+        d0 = read_image(meta["frames"][0]["file_name_depth"]) / 1000.0
+        assert (d0 > 0).mean() > 0.8  # indoor view: almost everything hits
+        assert d0.max() < 4.5  # bounded by the room, not the 10 m horizon
