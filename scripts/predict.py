@@ -98,8 +98,19 @@ def predict(cfg: dict):
         offset = np.asarray(batch.get("offset", np.zeros((1, 1, 3))))[0].reshape(1, 3)
         pred = TSDF(pred.voxel_size, offset, pred.tsdf_vol)
         pred.save(os.path.join(output_dir, f"{scene}.npz"))
-        pred.get_mesh().export(os.path.join(output_dir, f"{scene}.ply"))
-        log.info(f"saved {scene}.npz / {scene}.ply")
+        mesh = pred.get_mesh()
+        mesh.export(os.path.join(output_dir, f"{scene}.ply"))
+        if len(mesh.vertices) == 0:
+            # a fully saturated field (every voxel at +-1) has no
+            # localizable zero crossing inside the truncation band — the
+            # under-trained regime; eval will score F=0 on this scene
+            log.warning(
+                f"{scene}: extracted mesh is EMPTY (field saturated to "
+                f"+-1? under-trained checkpoints do this before the "
+                f"truncation ramp forms)"
+            )
+        log.info(f"saved {scene}.npz / {scene}.ply "
+                 f"({len(mesh.vertices)} vertices)")
     log.info(f"output dir: {output_dir}")
     return output_dir
 
