@@ -47,7 +47,16 @@ class Trainer:
         logger: Optional[MetricsLogger] = None,
         ckpt: Optional[CheckpointManager] = None,
         num_slices: Optional[int] = None,
-        **_unused,
+        limit_train_batches: Optional[float] = None,
+        limit_val_batches: Optional[float] = None,
+        limit_test_batches: Optional[float] = None,
+        # consumed by parallel.platform.select_platform before Trainer
+        # construction; accepted here so the whole trainer config group can
+        # be splatted through unchanged
+        num_nodes: int = 1,
+        coordinator_address: Optional[str] = None,
+        node_rank: Optional[int] = None,
+        **_unknown,
     ):
         self.max_epochs = max_epochs
         self.min_epochs = min_epochs
@@ -114,6 +123,44 @@ class Trainer:
 
         self.progress = ProgressBar(enabled=bool(progress_bar))
         self.metrics: Dict[str, float] = {}
+        # Lightning limit_{train,val,test}_batches: int = batch count,
+        # float in (0, 1] = fraction of the loader (1.0 = everything)
+        self.limit_train_batches = limit_train_batches
+        self.limit_val_batches = limit_val_batches
+        self.limit_test_batches = limit_test_batches
+        if _unknown:
+            # a swallowed option is a config surface that lies (round-2's
+            # dead trainer.precision) — at minimum, say so out loud
+            self.log.warning(
+                f"ignoring unknown trainer option(s): {sorted(_unknown)}"
+            )
+
+    def _batch_limit(self, limit, loader) -> Optional[int]:
+        """Resolve a limit_*_batches value to a max batch count (None =
+        unlimited). Lightning semantics: int = count, float = fraction of
+        the loader (1.0 = everything)."""
+        if limit is None:
+            return None
+        if isinstance(limit, int) and not isinstance(limit, bool):
+            return limit
+        limit = float(limit)
+        if not 0.0 <= limit <= 1.0:
+            raise ValueError(
+                f"fractional batch limit must be in [0, 1], got {limit}"
+            )
+        if limit == 1.0:
+            return None
+        try:
+            n = len(loader)
+        except TypeError:
+            self.log.warning(
+                f"fractional batch limit {limit} needs a sized loader; "
+                "running all batches"
+            )
+            return None
+        import math
+
+        return math.ceil(limit * n)
 
     # -----------------------------------------------------------------
     def fit(self, task, datamodule, seed: int = 0, ckpt_path: Optional[str] = None,
@@ -226,11 +273,18 @@ class Trainer:
             t_epoch = time.time()
             last_metrics = {}
             metrics = None
-            self.progress.start_epoch(epoch, batches_per_epoch)
+            train_limit = self._batch_limit(self.limit_train_batches, train_loader)
+            self.progress.start_epoch(
+                epoch,
+                batches_per_epoch if train_limit is None
+                else min(train_limit, batches_per_epoch or train_limit),
+            )
             step_in_epoch = 0
             for batch, sharded in prefetch_shard(
                 train_loader, self.mesh, self.prefetch_batches
             ):
+                if train_limit is not None and step_in_epoch >= train_limit:
+                    break
                 key, k = jax.random.split(key)
                 # optional profiler capture (reference §5.1: scoped
                 # record_function annotations; here a real trace window)
@@ -350,7 +404,13 @@ class Trainer:
         sums: Dict[str, Any] = {}
         count = 0
         last_batch = None
+        limit = self._batch_limit(
+            self.limit_test_batches if mode == "test" else self.limit_val_batches,
+            loader,
+        )
         for batch, sharded in prefetch_shard(loader, self.mesh, self.prefetch_batches):
+            if limit is not None and count >= limit:
+                break
             key, k = jax.random.split(key)
             metrics = task.run_eval_step(state, sharded, k)
             for k_, v in metrics.items():

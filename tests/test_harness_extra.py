@@ -296,3 +296,106 @@ class TestGradientClip:
         state = task.init_state(jax.random.PRNGKey(0), batch)
         state, metrics = task.run_train_step(state, batch, jax.random.PRNGKey(1))
         assert np.isfinite(float(metrics["combined"]))
+
+
+class TestBatchLimits:
+    """trainer.limit_{train,val,test}_batches (Lightning semantics) — these
+    keys previously fell into Trainer's **kwargs catch-all and were
+    SILENTLY ignored (the round-2 dead-trainer.precision failure class)."""
+
+    def _trainer(self, tmp_path, **kw):
+        from gennerf_tpu.train.loop import Trainer
+
+        return Trainer(devices=8, output_dir=str(tmp_path), **kw)
+
+    def test_batch_limit_semantics(self, tmp_path):
+        tr = self._trainer(tmp_path)
+
+        class Sized(list):
+            pass
+
+        loader = Sized(range(10))
+        assert tr._batch_limit(None, loader) is None
+        assert tr._batch_limit(3, loader) == 3
+        assert tr._batch_limit(1, loader) == 1          # int 1 = ONE batch
+        assert tr._batch_limit(1.0, loader) is None     # float 1.0 = all
+        assert tr._batch_limit(0.25, loader) == 3       # ceil(0.25 * 10)
+        with pytest.raises(ValueError):
+            tr._batch_limit(1.5, loader)
+
+    def test_fractional_limit_without_len_runs_all(self, tmp_path):
+        tr = self._trainer(tmp_path)
+        assert tr._batch_limit(0.5, iter(range(5))) is None
+
+    def test_unknown_trainer_option_warns(self, tmp_path):
+        # get_logger's stdout handler is cached across tests (propagate
+        # off), so capture with a temporary handler on the same logger
+        import io
+        import logging
+
+        buf = io.StringIO()
+        lg = logging.getLogger("gennerf_tpu")
+        h = logging.StreamHandler(buf)
+        lg.addHandler(h)
+        try:
+            self._trainer(tmp_path, limit_train_batchez=3)  # typo'd key
+        finally:
+            lg.removeHandler(h)
+        out = buf.getvalue()
+        assert "unknown trainer option" in out and "limit_train_batchez" in out
+
+    def test_limits_bound_fit_and_validate(self, tmp_path):
+        """End-to-end through the real fit loop: 5-batch loaders with
+        limit_train_batches=2 / limit_val_batches=1 run exactly 2 train
+        steps per epoch and 1 val batch."""
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from gennerf_tpu.train.state import TrainState
+
+        calls = {"train": 0, "eval": 0}
+
+        class TinyTask:
+            name = "tiny"
+
+            class cfg:
+                class optimizer:
+                    type = "Adam"; lr = 1e-3; weight_decay = 0.0
+                class scheduler:
+                    type = "StepLR"; step_size = 10; gamma = 0.1
+
+            def init_state(self, key, batch):
+                from gennerf_tpu.train.state import make_optimizer
+
+                params = {"w": jnp.zeros((2,))}
+                tx = make_optimizer(self.cfg.optimizer)
+                return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                                  batch_stats={}, opt_state=tx.init(params))
+
+            def run_train_step(self, state, batch, key):
+                calls["train"] += 1
+                return state.replace(step=state.step + 1), {"combined": jnp.zeros(())}
+
+            def run_eval_step(self, state, batch, key):
+                calls["eval"] += 1
+                return {"combined": jnp.zeros(())}
+
+        class Loader(list):
+            pass
+
+        batches = Loader({"x": np.zeros((8, 1), np.float32)} for _ in range(5))
+
+        class DM:
+            def train_dataloader(self):
+                return batches
+
+            def val_dataloader(self):
+                return batches
+
+        tr = self._trainer(tmp_path, max_epochs=1, limit_train_batches=2,
+                           limit_val_batches=1, num_sanity_val_steps=0,
+                           prefetch_batches=0, log_every_n_steps=1)
+        tr.fit(TinyTask(), DM())
+        assert calls["train"] == 2
+        assert calls["eval"] == 1
