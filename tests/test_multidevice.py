@@ -128,3 +128,61 @@ class TestDataParallel:
         tsdf = decode_dense(task.model, variables, repr_, pts_sharded, jnp.zeros(3), chunk_size=1024)
         tsdf_local = decode_dense(task.model, variables, repr_, pts, jnp.zeros(3), chunk_size=1024)
         np.testing.assert_allclose(np.asarray(tsdf), np.asarray(tsdf_local), atol=1e-5)
+
+
+class TestVoxelNetDataParallel:
+    def test_voxelnet_sharded_step_matches_single_device(self, rng):
+        """The second model family under the 8-device mesh: VoxelNet's
+        spatial encoder carries BatchNorm, whose statistics are GLOBAL
+        under jit — sharding the batch must not change them (the SyncBN
+        parity claim, SURVEY §5.8), so loss and updated params match the
+        single-device run."""
+        from gennerf_tpu.train.tasks import VoxelNetTask
+
+        assert jax.device_count() == 8
+        cfg = {
+            "type": "VoxelNet", "voxel_size": 0.08,
+            "voxel_dim_train": [16, 16, 8], "voxel_dim_val": [16, 16, 8],
+            "voxel_dim_test": [16, 16, 8],
+            "encoder": {"use_spatial": True, "use_pointnet": False,
+                        "spatial": {"backbone": "resnet18", "num_layers": 2,
+                                    "blur_image": False}},
+            "backbone3d": {"channels": [8, 16], "layers_down": [1, 1],
+                           "layers": [1]},
+            "heads": {"tsdf_multi_scale": False},
+        }
+        task = VoxelNetTask(cfg)
+        B, T, H, W = 8, 2, 16, 16
+        batch = {
+            "projection": rng.standard_normal((B, T, 3, 4)).astype(np.float32),
+            "image": rng.standard_normal((B, T, 3, H, W)).astype(np.float32),
+            "depth": (rng.random((B, T, H, W)) + 0.5).astype(np.float32),
+            "vol_08_tsdf": rng.uniform(-1, 1, (B, 1, 16, 16, 8)).astype(np.float32),
+        }
+        batch["projection"][:, :, 2, 2] = 1.0
+        key = jax.random.PRNGKey(0)
+        state = task.init_state(jax.random.PRNGKey(1), batch)
+
+        mesh8 = make_mesh(8)
+        s8, m8 = task.run_train_step(
+            replicate(state, mesh8), shard_batch(batch, mesh8), key)
+        mesh1 = make_mesh(1)
+        s1, m1 = task.run_train_step(
+            replicate(state, mesh1), shard_batch(batch, mesh1), key)
+
+        assert np.isfinite(float(m8["tsdf_loss"]))
+        np.testing.assert_allclose(
+            float(m8["tsdf_loss"]), float(m1["tsdf_loss"]), rtol=1e-4)
+        for a, b in zip(jax.tree.leaves(s8.params), jax.tree.leaves(s1.params)):
+            # reduction order differs across layouts; Adam's m/sqrt(v)
+            # normalization amplifies that noise to O(lr) for elements
+            # whose gradient is ~0 — bound the param delta by the step
+            # size rather than float epsilon
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=3e-3)
+        # the globally-synced BatchNorm running stats also agree
+        for a, b in zip(jax.tree.leaves(s8.batch_stats),
+                        jax.tree.leaves(s1.batch_stats)):
+            # same global statistics, layout-order float noise only
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-5)
