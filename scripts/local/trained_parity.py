@@ -82,6 +82,39 @@ def build_scene():
                 trgt=trgt)
 
 
+def build_scene_room():
+    """Room-interior variant: GT is the truncated signed distance of a
+    one-sided wall shell seen from inside (positive in the room air,
+    negative beyond the walls — the fusion convention for interior
+    captures); the pointnet cloud samples the interior wall faces. Same
+    grid/shapes as the sphere protocol so everything downstream is
+    unchanged."""
+    nx, ny, nz, vs = 16, 16, 8, 0.0625
+    origin = np.array([-0.5, -0.5, -0.25], np.float64)
+    half = np.array([0.4, 0.4, 0.2])  # wall half-extents inside the volume
+    ii, jj, kk = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
+                             indexing="ij")
+    centers = origin + (np.stack([ii, jj, kk], -1) + 0.5) * vs
+    q = np.abs(centers) - half  # box SDF: negative inside the shell
+    box_sdf = (np.linalg.norm(np.maximum(q, 0.0), axis=-1)
+               + np.minimum(q.max(axis=-1), 0.0))
+    gt = np.clip(-box_sdf / (3 * vs), -1, 1)  # + air, - behind walls
+    # 64 cloud points spread over the 6 interior faces (deterministic)
+    rng = np.random.default_rng(0)
+    pts = []
+    for i in range(64):
+        face = i % 6
+        ax, sign = face // 2, (1.0 if face % 2 else -1.0)
+        p = rng.uniform(-1.0, 1.0, 3) * half
+        p[ax] = sign * half[ax]
+        pts.append(p)
+    cloud = np.asarray(pts, np.float64)[None]
+    xyz = centers.reshape(1, -1, 3)
+    trgt = gt.reshape(1, -1, 1)
+    return dict(nx=nx, ny=ny, nz=nz, vs=vs, gt=gt, cloud=cloud, xyz=xyz,
+                trgt=trgt)
+
+
 def make_oracle(seed: int):
     torch.manual_seed(seed)
     oracle = TorchGenNerf(C_DIM, HIDDEN, PN_BLOCKS, RESO, UNET_DEPTH,
@@ -213,10 +246,15 @@ def masked_l1(pred, gt):
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--steps", type=int, default=STEPS)
+    parser.add_argument("--scene", choices=["sphere", "room"],
+                        default="sphere",
+                        help="analytic GT family: the benchmarked sphere "
+                             "protocol, or a room-interior shell (parity "
+                             "evidence on the indoor capture regime)")
     args = parser.parse_args(argv)
     steps = args.steps
 
-    scene = build_scene()
+    scene = build_scene() if args.scene == "sphere" else build_scene_room()
     oracle, sd = make_oracle(seed=3)
     model, cfg, params = build_flax(scene, sd)
 
@@ -236,6 +274,7 @@ def main(argv=None):
     k = min(60, steps)
     early = [abs(a - b) / max(a, 1e-12) for a, b in zip(curve_t[:k], curve_j[:k])]
     result = {
+        "scene": args.scene,
         "steps": steps,
         "curve_torch": [round(c, 6) for c in curve_t[:: max(steps // 10, 1)]],
         "curve_flax": [round(c, 6) for c in curve_j[:: max(steps // 10, 1)]],
