@@ -196,7 +196,10 @@ class Trainer:
             raise ValueError(
                 "train dataloader produced no batches — check the dataset "
                 "windowing (e.g. data.sequence_length larger than the scene's "
-                "frame count leaves zero sequences) and the split lists"
+                "frame count leaves zero sequences, and a fractional "
+                "data.sequence_amount_train floors int(amount * n/seq_len) "
+                "to zero windows when scenes are exactly one window long) "
+                "and the split lists"
             ) from None
         key, k_init = jax.random.split(key)
         state = task.init_state(k_init, first_batch)
