@@ -174,3 +174,38 @@ def test_train_cli_legacy_print_config_flag(tmp_path, capsys, silence,
         train_cli.train(cfg)
     out = capsys.readouterr().out
     assert ("CONFIG" in out) == expect_tree
+
+
+class TestSequenceWindowBudget:
+    """Regression for the zero-window voxelnet preset: a fractional
+    sequence_amount floors int(amount * n/seq_len) to ZERO windows when a
+    scene is exactly one window long — every whole-scene preset must pin
+    the amounts to 1.0."""
+
+    def _dataset(self, tmp_path, amount):
+        import json
+
+        from gennerf_tpu.data.datasets import ScenesSequencesDataset
+
+        info = {"dataset": "synthetic", "scene": "s", "path": str(tmp_path),
+                "frames": [{"id": i} for i in range(10)]}
+        p = tmp_path / "info.json"
+        p.write_text(json.dumps(info))
+        return ScenesSequencesDataset(
+            [str(p)], sequence_amount=amount, sequence_length=10,
+            sequence_locations="evenly_spaced", sequence_order="sorted",
+            num_frames=8, frame_locations="evenly_spaced",
+            frame_order="sorted", from_archive=False,
+        )
+
+    def test_fractional_amount_floors_to_zero_windows(self, tmp_path):
+        assert len(self._dataset(tmp_path, 0.8)) == 0
+
+    def test_unit_amount_keeps_the_whole_scene_window(self, tmp_path):
+        assert len(self._dataset(tmp_path, 1.0)) == 1
+
+    def test_voxelnet_multigeo_preset_pins_amounts(self):
+        cfg = compose(CONFIG_DIR, "train",
+                      ["experiment=seqs_multigeo_voxelnet"])
+        for split in ("train", "val", "test"):
+            assert cfg["data"][f"sequence_amount_{split}"] == 1.0
