@@ -104,6 +104,18 @@ def _resolve_ref(expr: str, root: Dict[str, Any]) -> Any:
     return _get_dotted(root, expr)
 
 
+def set_dotted(cfg: Dict[str, Any], dotted: str, value: Any) -> None:
+    """Public alias: apply one dotted `a.b.c = value` onto a config dict
+    (entry points use it to re-apply explicit CLI overrides on top of a
+    checkpoint's config snapshot)."""
+    _set_dotted(cfg, dotted, value)
+
+
+def parse_override(token: str):
+    """Public alias of the CLI `key=value` tokenizer (YAML-parsed value)."""
+    return _parse_override(token)
+
+
 def _parse_override(token: str):
     if "=" not in token:
         raise ConfigError(f"override must be key=value: {token!r}")

@@ -17,7 +17,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def predict(cfg: dict):
+def predict(cfg: dict, cli_model_overrides=None):
+    cli_model_overrides = cli_model_overrides or []
     import jax
 
     from gennerf_tpu.data.datamodule import ScannetDataModule
@@ -45,6 +46,18 @@ def predict(cfg: dict):
         if "model" in snap:
             model_cfg = snap["model"]
             log_cfg_source = "checkpoint snapshot"
+            # explicit CLI model.* overrides win over the snapshot (the
+            # reference load_from_checkpoint(**kwargs) surface) — without
+            # this, a model override at predict time is silently ignored
+            if cli_model_overrides:
+                from gennerf_tpu.utils.config import set_dotted
+
+                for dotted, value in cli_model_overrides:
+                    set_dotted(model_cfg, dotted, value)
+                log_cfg_source += (
+                    " + CLI override(s): "
+                    + ", ".join(d for d, _ in cli_model_overrides)
+                )
         else:
             log_cfg_source = "CLI (snapshot has no model key)"
         # inference numerics follow the training precision unless the CLI
@@ -132,7 +145,16 @@ def main(argv=None):
     from gennerf_tpu.utils.console import extras
 
     extras(cfg)
-    return predict(cfg)
+    # explicit model.* CLI tokens override the checkpoint snapshot inside
+    # predict() (reference load_from_checkpoint(**kwargs) surface)
+    from gennerf_tpu.utils.config import parse_override
+
+    cli_model_overrides = [
+        (k.split(".", 1)[1], v)
+        for k, v in (parse_override(t) for t in argv if "=" in t)
+        if k.startswith("model.")
+    ]
+    return predict(cfg, cli_model_overrides=cli_model_overrides)
 
 
 if __name__ == "__main__":
