@@ -218,7 +218,13 @@ def parse_splits_list(splits, data_dir: Optional[str] = None) -> List[str]:
         splits = splits.split()
     info_files: List[str] = []
     for split in splits:
-        split_path = os.path.join(data_dir, split.lstrip("/")) if data_dir else split
+        # an absolute path that exists is used verbatim (the eval CLIs pass
+        # --dataset /abs/val.txt --data-dir /abs); otherwise leading "/" is
+        # treated as data_dir-relative like the reference's split lists
+        if data_dir and not (os.path.isabs(split) and os.path.exists(split)):
+            split_path = os.path.join(data_dir, split.lstrip("/"))
+        else:
+            split_path = split
         ext = os.path.splitext(split)[1]
         if ext == ".json":
             info_files.append(split_path)
@@ -335,8 +341,10 @@ class ScenesDataset:
         # resample GT into the canonical frame
         from . import transforms as T
 
-        voxel_scale = self.voxel_sizes[0]
-        if "file_name_vol_%02d" % voxel_scale in info:
+        voxel_scale = self.voxel_sizes[0] if self.voxel_sizes else None
+        # gate on what map_tsdf actually LOADED (voxel_types may be [] for
+        # GT-less predict even when the info file carries a GT volume)
+        if voxel_scale is not None and ("vol_%02d" % voxel_scale) in data:
             tsdf_trgt = data["vol_%02d" % voxel_scale]
             voxel_size = float(voxel_scale) / 100
             shift = np.array([0.5, 0.5, 0.5]) // voxel_size
@@ -386,6 +394,15 @@ class ScenesSequencesDataset:
             if n < self.sequence_length:
                 drop.append(i)
                 continue
+            if num_sequences == 0:
+                import warnings
+
+                warnings.warn(
+                    f"{info_file}: sequence_amount={self.sequence_amount} x "
+                    f"({n} frames / {self.sequence_length} window) floors to "
+                    f"ZERO windows — the scene contributes no items (use "
+                    f"sequence_amount >= {self.sequence_length / n:.2f} to "
+                    f"keep one window)", stacklevel=2)
             num_sequences_list.append(num_sequences)
             start_idxs = self.calculate_start_idxs(n, num_sequences)
             if self.sequence_order == "sorted":

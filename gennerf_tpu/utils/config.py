@@ -116,6 +116,13 @@ def parse_override(token: str):
     return _parse_override(token)
 
 
+def resolve_value(value: Any, root: Dict[str, Any]) -> Any:
+    """Public alias: resolve `${...}` interpolations in one value against a
+    config root (entry points use it so CLI overrides applied onto a
+    checkpoint snapshot resolve the same way compose() would)."""
+    return _resolve_value(value, root)
+
+
 def _parse_override(token: str):
     if "=" not in token:
         raise ConfigError(f"override must be key=value: {token!r}")

@@ -18,6 +18,11 @@ ensure_dataset() {  # dir --train N --families ...
   [ -f "$dir/val.txt" ] && return 0
   python scripts/local/make_multigeo_dataset.py --out "$dir" "$@" \
     > "$dir.gen.log" 2>&1
+  local rc=$?
+  if [ $rc -ne 0 ] || [ ! -f "$dir/val.txt" ]; then
+    echo "DATASET GENERATION FAILED for $dir (rc=$rc, see $dir.gen.log)" >&2
+    return 1
+  fi
 }
 
 run_drive() {  # name experiment data_dir [extra train overrides...]
@@ -28,12 +33,17 @@ run_drive() {  # name experiment data_dir [extra train overrides...]
     logger=csv "$@" > "$WORK/${name}_train.log" 2>&1
   echo "train rc=$? ($(date -u +%H:%M:%S))"
   echo "=== drive $name : predict ==="
+  # voxel_types=[tsdf] loads the GT volume for grid PLACEMENT only (the
+  # reference inference origin shift, data.py:354-367) — the model still
+  # reconstructs from frames alone. The GT-less fallback origin [0,0,-0.5]
+  # assumes ScanNet-convention positive-octant scenes and would crop these
+  # origin-centered synthetic scenes to one quadrant (recall ~0.25).
   timeout 3600 python scripts/predict.py \
     "ckpt_path=$WORK/${name}_run/checkpoints" \
     "paths.data_dir=$data" "paths.output_dir=$WORK/${name}_pred" \
     "data.datasets_test=[val.txt]" "data.dataset_type=scenes" \
     "data.num_frames_test=8" "data.voxel_size=0.04" \
-    "data.voxel_dim_test=[96,96,56]" "data.voxel_types=[]" \
+    "data.voxel_dim_test=[96,96,56]" "data.voxel_types=[tsdf]" \
     > "$WORK/${name}_predict.log" 2>&1
   echo "predict rc=$?"
   echo "=== drive $name : eval ==="
@@ -57,15 +67,15 @@ for WANTED in voxelnet multigeo4 multigeo3_big; do
   want "$@" || continue
   case "$WANTED" in
     voxelnet)
-      ensure_dataset "$WORK/multigeo" --train 8
+      ensure_dataset "$WORK/multigeo" --train 8 || continue
       run_drive voxelnet seqs_multigeo_voxelnet "$WORK/multigeo" ;;
     multigeo4)
       ensure_dataset "$WORK/multigeo4" --train 12 \
-        --families spheres,boxes,cylinders,rooms
+        --families spheres,boxes,cylinders,rooms || continue
       run_drive multigeo4 seqs_multigeo4_4cm "$WORK/multigeo4" ;;
     multigeo3_big)
       ensure_dataset "$WORK/multigeo3" --train 9 \
-        --families spheres,boxes,cylinders
+        --families spheres,boxes,cylinders || continue
       run_drive multigeo3_big seqs_multigeo3_4cm_big "$WORK/multigeo3" ;;
   esac
 done

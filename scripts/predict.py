@@ -17,8 +17,55 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def predict(cfg: dict, cli_model_overrides=None):
+def resolve_model_cfg(cfg, snap, cli_model_overrides=None, cli_model_group=None):
+    """Pick the effective model config for inference.
+
+    Priority (reference save_hyperparameters / load_from_checkpoint
+    contract + its **kwargs override surface):
+      1. explicit CLI ``model=<group>`` reselection -> the composed
+         cfg["model"] (already reflects the requested group);
+      2. the checkpoint's config.json snapshot, with dotted CLI
+         ``model.*`` overrides applied on top (``${...}`` interpolations
+         resolved against the snapshot-grafted root, like compose());
+      3. cfg["model"] when there is no snapshot.
+
+    Returns (model_cfg, human-readable source description).
+    """
     cli_model_overrides = cli_model_overrides or []
+    model_cfg = cfg["model"]
+    if snap is None:
+        return model_cfg, "CLI (no snapshot)"
+    if "model" not in snap:
+        return model_cfg, "CLI (snapshot has no model key)"
+    if cli_model_group is not None:
+        # a bare model=<group> reselection wins over the snapshot (the same
+        # contract as dotted model.* overrides); a pytree mismatch at
+        # restore time then surfaces the incompatibility loudly instead of
+        # the reselection being silently ignored
+        return model_cfg, (
+            f"CLI (model={cli_model_group} reselection overrides the "
+            f"checkpoint snapshot)"
+        )
+    model_cfg = snap["model"]
+    log_cfg_source = "checkpoint snapshot"
+    if cli_model_overrides:
+        from gennerf_tpu.utils.config import resolve_value, set_dotted
+
+        # resolve ${...} interpolations like compose() would, with the
+        # snapshot model grafted into the root so model-internal
+        # references (e.g. model.x=${model.y}) see snapshot values
+        root = dict(cfg)
+        root["model"] = model_cfg
+        for dotted, value in cli_model_overrides:
+            set_dotted(model_cfg, dotted, resolve_value(value, root))
+        log_cfg_source += (
+            " + CLI override(s): "
+            + ", ".join(d for d, _ in cli_model_overrides)
+        )
+    return model_cfg, log_cfg_source
+
+
+def predict(cfg: dict, cli_model_overrides=None, cli_model_group=None):
     import jax
 
     from gennerf_tpu.data.datamodule import ScannetDataModule
@@ -35,7 +82,6 @@ def predict(cfg: dict, cli_model_overrides=None):
     # the checkpoint carries its model hyperparameters (reference
     # save_hyperparameters / load_from_checkpoint contract): prefer the
     # snapshot's model config so the restored pytree always matches
-    model_cfg = cfg["model"]
     precision = cfg.get("trainer", {}).get("precision")
     snap = None
     snap_path = os.path.join(cfg["ckpt_path"], "config.json")
@@ -43,29 +89,12 @@ def predict(cfg: dict, cli_model_overrides=None):
         import json
 
         snap = json.load(open(snap_path))
-        if "model" in snap:
-            model_cfg = snap["model"]
-            log_cfg_source = "checkpoint snapshot"
-            # explicit CLI model.* overrides win over the snapshot (the
-            # reference load_from_checkpoint(**kwargs) surface) — without
-            # this, a model override at predict time is silently ignored
-            if cli_model_overrides:
-                from gennerf_tpu.utils.config import set_dotted
-
-                for dotted, value in cli_model_overrides:
-                    set_dotted(model_cfg, dotted, value)
-                log_cfg_source += (
-                    " + CLI override(s): "
-                    + ", ".join(d for d, _ in cli_model_overrides)
-                )
-        else:
-            log_cfg_source = "CLI (snapshot has no model key)"
         # inference numerics follow the training precision unless the CLI
         # overrides it (reference load_from_checkpoint restores hparams)
         if precision is None:
             precision = snap.get("trainer", {}).get("precision")
-    else:
-        log_cfg_source = "CLI (no snapshot)"
+    model_cfg, log_cfg_source = resolve_model_cfg(
+        cfg, snap, cli_model_overrides, cli_model_group)
 
     task = make_task(model_cfg, precision=precision)
     log.info(f"model config source: {log_cfg_source}")
@@ -154,7 +183,13 @@ def main(argv=None):
         for k, v in (parse_override(t) for t in argv if "=" in t)
         if k.startswith("model.")
     ]
-    return predict(cfg, cli_model_overrides=cli_model_overrides)
+    # a whole-group reselection (model=<name>) must also win over the
+    # snapshot, not be silently superseded by it
+    cli_model_group = next(
+        (v for k, v in (parse_override(t) for t in argv if "=" in t)
+         if k == "model"), None)
+    return predict(cfg, cli_model_overrides=cli_model_overrides,
+                   cli_model_group=cli_model_group)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,164 @@
+"""Regressions for the round-4 drive-harvest fixes.
+
+The round-3 queued TPU drives trained fine but the predict/eval halves
+fell over on two path bugs that only the drive orchestration's exact
+argument combination exercised:
+
+1. scripts/predict.py with ``data.voxel_types=[]`` (the GT-less predict
+   protocol) crashed with ``KeyError: 'vol_04'`` whenever the info.json
+   DID carry GT volumes — ScenesDataset gated the origin-shift branch on
+   the info file instead of on what map_tsdf actually loaded
+   (reference data.py:354-387 reads its own loaded dict).
+2. The eval CLIs invoked as ``--dataset /abs/val.txt --data-dir /abs``
+   resolved the split to ``/abs/abs/val.txt`` — parse_splits_list joined
+   even absolute, existing paths against data_dir.
+"""
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def scene_with_gt(tmp_path_factory):
+    from gennerf_tpu.data.synthetic import generate_scene
+
+    root = tmp_path_factory.mktemp("r4_scene")
+    info = generate_scene(str(root), scene="scene0", num_frames=6, H=48, W=64,
+                          voxel_sizes=(16,))
+    return str(root), info
+
+
+class TestParseSplitsListAbsolute:
+    def test_absolute_existing_split_used_verbatim(self, tmp_path):
+        """The drive scripts pass --dataset $data/val.txt --data-dir $data;
+        the split path must not be re-joined into $data/$data/val.txt."""
+        from gennerf_tpu.data.datasets import parse_splits_list
+
+        split = tmp_path / "val.txt"
+        split.write_text("scans/a/info.json\n")
+        out = parse_splits_list([str(split)], data_dir=str(tmp_path))
+        assert out == [str(tmp_path / "scans/a/info.json")]
+
+    def test_leading_slash_nonexistent_still_data_dir_relative(self, tmp_path):
+        """Reference-style '/splits/val.txt' entries (data_dir-relative with
+        a leading slash) keep resolving against data_dir."""
+        from gennerf_tpu.data.datasets import parse_splits_list
+
+        (tmp_path / "splits").mkdir()
+        (tmp_path / "splits" / "val.txt").write_text("scans/b/info.json\n")
+        out = parse_splits_list(["/splits/val.txt"], data_dir=str(tmp_path))
+        assert out == [str(tmp_path / "scans/b/info.json")]
+
+
+class TestGTLessPredictWithGTOnDisk:
+    def test_scenes_dataset_empty_voxel_types(self, scene_with_gt):
+        """voxel_types=[] (GT-less predict) must take the offset fallback
+        even when info.json carries file_name_vol_* entries."""
+        root, info = scene_with_gt
+        from gennerf_tpu.data.datasets import ScenesDataset
+
+        ds = ScenesDataset(
+            [info], num_frames=2, frame_locations="evenly_spaced",
+            frame_order="sorted", frame_types=["depth"], voxel_types=[],
+            voxel_sizes=[16], voxel_dim=[24, 24, 16], from_archive=False,
+            rng=np.random.default_rng(0),
+        )
+        item = ds[0]  # KeyError: 'vol_16' before the fix
+        assert "offset" in item
+        np.testing.assert_allclose(
+            np.asarray(item["offset"]).reshape(3), [0.0, 0.0, -0.5])
+
+    def test_scenes_dataset_with_gt_keeps_origin_shift(self, scene_with_gt):
+        """The GT-derived origin shift (reference data.py:354-367) is
+        unchanged when the volume IS requested."""
+        root, info = scene_with_gt
+        from gennerf_tpu.data.datasets import ScenesDataset
+
+        ds = ScenesDataset(
+            [info], num_frames=2, frame_locations="evenly_spaced",
+            frame_order="sorted", frame_types=["depth"], voxel_types=["tsdf"],
+            voxel_sizes=[16], voxel_dim=[24, 24, 16], from_archive=False,
+            rng=np.random.default_rng(0),
+        )
+        item = ds[0]
+        assert "vol_16_tsdf" in item  # FlattenTSDF renames vol_16
+        # offset came from the GT origin, not the [0,0,-0.5] fallback
+        assert not np.allclose(
+            np.asarray(item["offset"]).reshape(3), [0.0, 0.0, -0.5])
+
+
+class TestPredictModelCfgResolution:
+    """ADVICE round-3 items on scripts/predict.py's snapshot handling."""
+
+    def _cfg(self):
+        return {
+            "model": {"name": "cli_model", "voxel_size": 0.08},
+            "data": {"voxel_size": 0.02},
+        }
+
+    def _snap(self):
+        return {"model": {"name": "snap_model", "voxel_size": 0.04,
+                          "decoder": {"d_hidden": 128}}}
+
+    def test_snapshot_wins_without_overrides(self):
+        from scripts.predict import resolve_model_cfg
+
+        model_cfg, src = resolve_model_cfg(self._cfg(), self._snap())
+        assert model_cfg["name"] == "snap_model"
+        assert src == "checkpoint snapshot"
+
+    def test_dotted_override_resolves_interpolation(self):
+        """model.voxel_size=${data.voxel_size} must land as the resolved
+        float, not the literal '${data.voxel_size}' string."""
+        from scripts.predict import resolve_model_cfg
+
+        model_cfg, src = resolve_model_cfg(
+            self._cfg(), self._snap(),
+            cli_model_overrides=[("voxel_size", "${data.voxel_size}")])
+        assert model_cfg["voxel_size"] == 0.02
+        assert "voxel_size" in src
+
+    def test_interpolation_sees_snapshot_model_values(self):
+        """model-internal references resolve against the SNAPSHOT model."""
+        from scripts.predict import resolve_model_cfg
+
+        model_cfg, _ = resolve_model_cfg(
+            self._cfg(), self._snap(),
+            cli_model_overrides=[("tag", "h${model.decoder.d_hidden}")])
+        assert model_cfg["tag"] == "h128"
+
+    def test_group_reselection_wins_over_snapshot(self):
+        """A bare model=<name> token must not be silently superseded."""
+        from scripts.predict import resolve_model_cfg
+
+        model_cfg, src = resolve_model_cfg(
+            self._cfg(), self._snap(), cli_model_group="cli_model")
+        assert model_cfg["name"] == "cli_model"
+        assert "reselection" in src
+
+    def test_no_snapshot_uses_cli(self):
+        from scripts.predict import resolve_model_cfg
+
+        model_cfg, src = resolve_model_cfg(self._cfg(), None)
+        assert model_cfg["name"] == "cli_model"
+        assert src == "CLI (no snapshot)"
+
+
+class TestZeroWindowWarning:
+    def test_loader_warns_on_floored_zero_windows(self, scene_with_gt):
+        """sequence_amount x (frames/window) flooring to 0 now warns instead
+        of silently dropping the scene's data (ADVICE round-3 #4)."""
+        root, info = scene_with_gt
+        from gennerf_tpu.data.datasets import ScenesSequencesDataset
+
+        with pytest.warns(UserWarning, match="ZERO windows"):
+            ds = ScenesSequencesDataset(
+                [info], sequence_amount=0.8, sequence_length=6,
+                sequence_locations="free", sequence_order="random",
+                num_frames=2, frame_locations="evenly_spaced",
+                frame_order="sorted", frame_types=["depth"], voxel_types=[],
+                voxel_sizes=[16], from_archive=False,
+                rng=np.random.default_rng(0),
+            )
+        assert len(ds) == 0
