@@ -101,6 +101,14 @@ class MlpConfig:
     use_spade: bool = False
     use_layer_norm: bool = False
     alpha: float = 1.0
+    # TSDF head output scale (the reference TSDFHead's label_smoothing=1.05
+    # trick, heads3d.py:95, applied to the point head): with scale s > 1 a
+    # +-1 target is met at tanh = +-1/s, so tanh never saturates and the
+    # near-surface ramp keeps gradient throughout training — the fix for
+    # half-budget runs meshing EMPTY (field stuck at exactly +-1, which
+    # mesh extraction treats as unknown/outside). 1.0 = reference-exact
+    # point-head math (the trained-parity oracles pin that default).
+    head_smoothing: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)

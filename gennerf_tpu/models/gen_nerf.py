@@ -132,7 +132,9 @@ class GenNerf(nn.Module):
             alpha=m.alpha,
             dtype=self.dtype,
         )
-        self.head_geo = TSDFHeadSimple(dtype=self.dtype)
+        self.head_geo = TSDFHeadSimple(
+            smoothing=getattr(self.cfg.mlp, "head_smoothing", 1.0),
+            dtype=self.dtype)
 
     def _plane_coords(self, xyz: jnp.ndarray) -> jnp.ndarray:
         """World points -> the coordinate frame the triplane operations see.

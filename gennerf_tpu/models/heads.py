@@ -16,15 +16,26 @@ from .common import xavier_uniform_tanh, zeros_init
 
 
 class TSDFHeadSimple(nn.Module):
-    """Linear -> tanh point-wise TSDF regressor (reference heads3d.py:24-50)."""
+    """Linear -> tanh point-wise TSDF regressor (reference heads3d.py:24-50).
 
+    `smoothing` scales the tanh output (the multi-scale head's
+    label_smoothing idea, reference heads3d.py:95): at smoothing > 1 the
+    +-1 targets sit inside tanh's range, so saturated regions keep
+    gradient and under-trained fields don't freeze at exactly +-1 (which
+    mesh extraction treats as unknown/outside -> empty meshes).
+    """
+
+    smoothing: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         y = nn.Dense(1, kernel_init=xavier_uniform_tanh(), bias_init=zeros_init,
                      dtype=self.dtype)(x)
-        return jnp.tanh(y)
+        y = jnp.tanh(y)
+        # static branch: smoothing=1.0 (the default) stays bit-identical to
+        # the reference math the parity oracles pin
+        return y if self.smoothing == 1.0 else y * self.smoothing
 
 
 class TSDFHead(nn.Module):
@@ -102,6 +113,12 @@ class TSDFHead(nn.Module):
         if targets is not None:
             for i, vs in enumerate(voxel_sizes):
                 key = "vol_%02d_tsdf" % vs
+                # tolerate partial supervision: a predict-time batch may
+                # carry only the finest-scale GT (the data layer loads
+                # voxel_types x ONE voxel_size; multi-scale targets come
+                # from the trainer's datamodule) — skip absent scales
+                if key not in targets:
+                    continue
                 loss_dtype = jnp.promote_types(
                     jnp.float32, jnp.result_type(output[key], targets[key])
                 )

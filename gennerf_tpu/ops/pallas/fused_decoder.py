@@ -46,7 +46,7 @@ def _mlp_tail(feat, code, w_in_ref, b_in_ref, wz_ref, bz_ref,
         x,
         lambda b: alpha * (_bf16_dot(code, wz_ref[b]) + bz_ref[b]),
         w0_ref, b0_ref, w1_ref, b1_ref, w_last_ref[:], scal_ref[0, 1],
-        n_blocks=n_blocks,
+        n_blocks=n_blocks, smoothing=scal_ref[0, 2],
     )
 
 
@@ -61,7 +61,7 @@ def _kernel(feat_ref, code_ref, w_in_ref, b_in_ref, wz_ref, bz_ref,
 
 
 def extract_resnetfc_weights(mlp_params: dict, head_params: dict, n_blocks: int,
-                             d_geo: int):
+                             d_geo: int, head_smoothing: float = 1.0):
     """Pack flax ResnetFC + TSDFHeadSimple params into padded kernel arrays.
 
     Returns a dict of stacked, lane-padded weight arrays. Matrix weights are
@@ -109,8 +109,9 @@ def extract_resnetfc_weights(mlp_params: dict, head_params: dict, n_blocks: int,
     w_last = np.zeros((H, 128), np.float32)
     w_last[:, 0] = w_last_col[:, 0]
     b_last = float(b_out[:d_geo].astype(np.float64) @ w_head[:, 0].astype(np.float64))
-    # SMEM scalars: [alpha, b_last]
-    scal = np.array([[float(alpha[0, 0]), b_last]], np.float32)
+    # SMEM scalars: [alpha, b_last, head_smoothing (post-tanh output scale)]
+    scal = np.array([[float(alpha[0, 0]), b_last, float(head_smoothing)]],
+                    np.float32)
 
     return {
         # unpadded f32 copies for the grid kernel's table pre-projection
@@ -210,7 +211,7 @@ def _fused_resnetfc_tsdf_jit(
             pl.BlockSpec((n_blocks, H, H), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n_blocks, 1, H), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((H, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM),
     )
@@ -329,7 +330,7 @@ def _f32_dot(a, w):
 
 
 def _blocks_and_head(x, tz_fn, w0, b0, w1, b1, w_last, b_last, *,
-                     n_blocks: int, dot=_bf16_dot):
+                     n_blocks: int, dot=_bf16_dot, smoothing=None):
     """Shared ResnetFC residual-block loop + folded tanh head on
     pre-projected inputs: x is the lin_in output (f32), tz_fn(b) returns
     block b's pre-projected latent injection. Single source of truth for
@@ -343,7 +344,10 @@ def _blocks_and_head(x, tz_fn, w0, b0, w1, b1, w_last, b_last, *,
         dx = dot(jnp.maximum(net, 0.0), w1[b]) + b1[b]
         x = x + dx
     out = dot(jnp.maximum(x, 0.0), w_last)
-    return jnp.tanh(out[:, 0] + b_last)
+    y = jnp.tanh(out[:, 0] + b_last)
+    # post-tanh head smoothing scale (scal[0, 2]); None = legacy callers
+    # predating the scalar — identical to 1.0
+    return y if smoothing is None else y * smoothing
 
 
 def _grid_kernel(qyz_ref, qxz_ref, qxy_ref, zx_ref, zy_ref, zz_ref,
@@ -377,7 +381,7 @@ def _grid_kernel(qyz_ref, qxz_ref, qxy_ref, zx_ref, zy_ref, zz_ref,
 
     out_ref[:] = _blocks_and_head(
         x, tz_fn, w0_ref, b0_ref, w1_ref, b1_ref, w_last_ref[:],
-        scal_ref[0, 1], n_blocks=n_blocks,
+        scal_ref[0, 1], n_blocks=n_blocks, smoothing=scal_ref[0, 2],
     )
 
 
@@ -653,7 +657,7 @@ def separable_grid_decode_xla(
             x, lambda b: tz_yz[b] + zx_i[b][None, :],
             w0, weights["b0"], w1, weights["b1"],
             w_last, weights["scal"][0, 1],
-            n_blocks=n_blocks, dot=dot,
+            n_blocks=n_blocks, dot=dot, smoothing=weights["scal"][0, 2],
         )
 
     vols = jax.lax.map(slab, (q_xz, q_xy, z_x))
@@ -684,7 +688,7 @@ def _grid_kernel_call(q_yz, q_xz, q_xy, z_x, z_y, z_z, weights, *,
             pl.BlockSpec((n_blocks, H, H), lambda j, i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n_blocks, 1, H), lambda j, i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((H, 128), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((tile,), lambda j, i: (i * n_j + j,), memory_space=pltpu.VMEM),
     )

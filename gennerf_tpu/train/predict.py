@@ -213,6 +213,7 @@ def _separable_grid_setup(model: GenNerf, variables, repr_: SceneRepr):
         variables["params"]["head_geo"],
         cfg.mlp.n_blocks,
         cfg.mlp.d_out_geo,
+        head_smoothing=getattr(cfg.mlp, "head_smoothing", 1.0),
     )
     if abs(weights["b_head"]) > 0:
         raise NotImplementedError("fused decode assumes zero head bias")
@@ -458,6 +459,7 @@ def make_point_tsdf_fn(
     weights = extract_resnetfc_weights(
         variables["params"]["mlp"], variables["params"]["head_geo"],
         cfg.mlp.n_blocks, cfg.mlp.d_out_geo,
+        head_smoothing=getattr(cfg.mlp, "head_smoothing", 1.0),
     )
     if abs(weights["b_head"]) > 0:
         raise NotImplementedError("fused decode assumes zero head bias")
@@ -517,6 +519,7 @@ def decode_dense_fused(
         variables["params"]["head_geo"],
         cfg.mlp.n_blocks,
         cfg.mlp.d_out_geo,
+        head_smoothing=getattr(cfg.mlp, "head_smoothing", 1.0),
     )
     if abs(weights["b_head"]) > 0:
         raise NotImplementedError("fused decode assumes zero head bias")

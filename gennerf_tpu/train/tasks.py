@@ -180,16 +180,14 @@ class VoxelNetTask:
 
     def init_state(self, key: jax.Array, batch: Dict[str, Any]) -> TrainState:
         b = _array_batch(batch)
-        # GT-less batches (predict on scans_test) initialize without targets
-        targets = {
-            ("vol_%02d_tsdf" % vs): jnp.asarray(b["vol_%02d_tsdf" % vs])
-            for vs in self.voxel_sizes
-            if ("vol_%02d_tsdf" % vs) in b
-        } or None
+        # always initialize GT-less: the loss branch creates no parameters,
+        # and a predict-time batch may carry targets at voxel_dim_test (or a
+        # partial scale pyramid) that don't match voxel_dim_train — init
+        # must not couple to target shapes
         variables = self.model.init(
             key,
             jnp.asarray(b["projection"]), jnp.asarray(b["image"]), jnp.asarray(b["depth"]),
-            tuple(self.cfg.voxel_dim_train), jnp.zeros(3), targets, train=False,
+            tuple(self.cfg.voxel_dim_train), jnp.zeros(3), None, train=False,
         )
         variables = _maybe_load_pretrained(variables, self.cfg)
         return create_train_state(variables, self.tx)

@@ -145,6 +145,124 @@ class TestPredictModelCfgResolution:
         assert src == "CLI (no snapshot)"
 
 
+class TestVoxelNetPartialTargets:
+    def test_single_scale_target_skips_missing_scales(self):
+        """The predict CLI data layer loads GT at ONE voxel size (for grid
+        placement); VoxelNet's multi-scale head must compute loss terms only
+        for the scales present instead of KeyError'ing on the missing
+        coarse-scale targets (reference heads3d.py:84-176 iterates
+        self.voxel_sizes unconditionally but is only ever fed full target
+        pyramids by Lightning; our task surface also serves predict)."""
+        import jax
+        import jax.numpy as jnp
+
+        from gennerf_tpu.models.heads import TSDFHead
+
+        head = TSDFHead(channels=(8, 16, 32), voxel_size=0.04)
+        xs = [jnp.zeros((1, 8, 4, 4, 2)), jnp.zeros((1, 8, 8, 8, 4))]
+        full = {
+            "vol_08_tsdf": jnp.ones((1, 1, 4, 4, 2)),
+            "vol_04_tsdf": jnp.ones((1, 1, 8, 8, 4)),
+        }
+        partial = {"vol_04_tsdf": jnp.ones((1, 1, 8, 8, 4))}
+        variables = head.init(jax.random.PRNGKey(0), xs, full)
+        out_full, losses_full = head.apply(variables, xs, full)
+        out_part, losses_part = head.apply(variables, xs, partial)
+        assert set(losses_full) == {"vol_08_tsdf_loss", "vol_04_tsdf_loss"}
+        assert set(losses_part) == {"vol_04_tsdf_loss"}
+        # outputs unaffected by which targets exist
+        for k in out_full:
+            np.testing.assert_array_equal(out_full[k], out_part[k])
+
+
+class TestHeadSmoothing:
+    """model.mlp.head_smoothing (VERDICT round-3 next #6): the point head's
+    tanh output scale. At s > 1 a +-1 target needs tanh = +-1/s, so the
+    field never freezes at exactly +-1 (which TSDF.get_mesh treats as
+    unknown/outside -> EMPTY meshes from half-budget checkpoints)."""
+
+    def _mini_cfg(self, smoothing):
+        return {
+            "type": "GenNerf", "voxel_size": 0.08,
+            "voxel_dim_train": [16, 16, 8], "voxel_dim_val": [16, 16, 8],
+            "voxel_dim_test": [16, 16, 8],
+            "encoder": {"use_spatial": False, "use_pointnet": True,
+                        "pointnet": {"num_sparse_points": 32, "c_dim": 8,
+                                     "hidden_dim": 8, "plane_resolution": 16,
+                                     "n_blocks": 2, "unet": False}},
+            "mlp": {"d_out_sem": 1, "d_out_geo": 8, "n_blocks": 2,
+                    "d_hidden": 32, "head_smoothing": smoothing},
+        }
+
+    def test_simple_head_scales_tanh(self):
+        import jax
+        import jax.numpy as jnp
+
+        from gennerf_tpu.models.heads import TSDFHeadSimple
+
+        x = jnp.linspace(-3, 3, 12).reshape(4, 3)
+        plain = TSDFHeadSimple()
+        smooth = TSDFHeadSimple(smoothing=1.05)
+        v = plain.init(jax.random.PRNGKey(0), x)
+        np.testing.assert_allclose(
+            np.asarray(smooth.apply(v, x)),
+            1.05 * np.asarray(plain.apply(v, x)), rtol=1e-6)
+        # range now exceeds 1: saturation can't pin the field at +-1
+        assert float(jnp.abs(smooth.apply(v, x * 100)).max()) > 1.0
+
+    def test_all_decode_tiers_apply_smoothing(self, rng=None):
+        """The gather decode, the separable XLA grid tier, and the fused
+        point kernel (interpret mode) must all scale by head_smoothing —
+        a tier that forgot the factor would silently fork inference
+        numerics from training."""
+        import jax
+        import jax.numpy as jnp
+
+        from gennerf_tpu.models.gen_nerf import GenNerf, SceneRepr
+        from gennerf_tpu.train.predict import (
+            decode_dense,
+            decode_grid_separable_xla,
+            dense_grid_points,
+            make_point_tsdf_fn,
+        )
+        from gennerf_tpu.train.tasks import GenNerfTask
+
+        rng = np.random.default_rng(0)
+        B, T, H, W = 1, 2, 12, 16
+        batch = {
+            "projection": rng.standard_normal((B, T, 3, 4)).astype(np.float32),
+            "image": rng.standard_normal((B, T, 3, H, W)).astype(np.float32),
+            "depth": (rng.random((B, T, H, W)) + 0.5).astype(np.float32),
+            "vol_08_tsdf": rng.uniform(-1, 1, (B, 1, 16, 16, 8)).astype(np.float32),
+        }
+        batch["projection"][:, :, 2, 2] = 1.0
+
+        vols = {}
+        for s in (1.0, 1.05):
+            task = GenNerfTask(self._mini_cfg(s))
+            state = task.init_state(jax.random.PRNGKey(0), batch)
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            repr_, _ = task.model.apply(
+                variables, jnp.asarray(batch["projection"]),
+                jnp.asarray(batch["image"]), jnp.asarray(batch["depth"]),
+                jax.random.PRNGKey(0), (16, 16, 8), jnp.zeros(3),
+                train=False, method=GenNerf.encode, mutable=["batch_stats"])
+            repr_ = SceneRepr(volume=None, valid=repr_.valid,
+                              planes={k: 0.02 * v for k, v in repr_.planes.items()})
+            origin = jnp.zeros(3, jnp.float32)
+            pts = dense_grid_points((16, 16, 8), 0.08, np.zeros(3))
+            gather = decode_dense(task.model, variables, repr_, pts, origin)
+            sep = decode_grid_separable_xla(
+                task.model, variables, repr_, (16, 16, 8), 0.08, origin)
+            fn = make_point_tsdf_fn(task.model, variables, repr_, origin,
+                                    tile=256, interpret=True)
+            fused = fn(pts.reshape(1, -1, 3))[0]
+            vols[s] = (np.asarray(gather), np.asarray(sep).ravel(),
+                       np.asarray(fused))
+        for a, b in zip(vols[1.05], vols[1.0]):
+            np.testing.assert_allclose(a, 1.05 * b, atol=5e-4)
+
+
 class TestZeroWindowWarning:
     def test_loader_warns_on_floored_zero_windows(self, scene_with_gt):
         """sequence_amount x (frames/window) flooring to 0 now warns instead
