@@ -23,6 +23,12 @@ def main():
                         help="trainer.precision surface: 32-true | bf16-mixed")
     parser.add_argument("--step-only", action="store_true",
                         help="measure just the full train step (for A/B runs)")
+    parser.add_argument("--loss", default="tsdf",
+                        choices=["tsdf", "eikonal", "gradient", "isdf"],
+                        help="enable an extra loss term (eikonal/gradient "
+                             "ride the single-forward vjp decode path; isdf "
+                             "replaces tsdf) for step-cost A/Bs "
+                             "(reference model.py:360-430 loss modes)")
     args = parser.parse_args()
 
     import jax
@@ -45,8 +51,19 @@ def main():
     from gennerf_tpu.train.tasks import dtype_for_precision
 
     cfg = _flagship_cfg()
+    if args.loss != "tsdf":
+        import dataclasses
+
+        loss_overrides = {
+            "eikonal": {"use_eikonal": True},
+            "gradient": {"use_gradient": True},
+            "isdf": {"use_isdf": True, "use_tsdf": False},
+        }[args.loss]
+        cfg = dataclasses.replace(
+            cfg, loss=dataclasses.replace(cfg.loss, **loss_overrides))
     model = GenNerf(cfg, dtype=dtype_for_precision(args.precision))
-    print(f"precision={args.precision} (compute dtype {model.dtype})")
+    print(f"precision={args.precision} loss={args.loss} "
+          f"(compute dtype {model.dtype})")
     T = args.frames
     H, W = 480, 640
     K = np.array([[0.6 * W, 0, W / 2], [0, 0.6 * W, H / 2], [0, 0, 1]], np.float32)
