@@ -141,23 +141,28 @@ def main():
             try:
                 state0 = task.init_state(jax.random.PRNGKey(1), batch)
 
-                # encode-only (GenNerf exposes encode; VoxelNet's analog is
-                # its backbone2d+backproject half — skip there, the full
-                # forward below covers it)
+                # encode-only timing: both model families expose encode()
+                # (VoxelNet's = per-frame 2D backbone + backproject fold,
+                # no rng; GenNerf's adds FPS/pointnet and takes a key)
                 enc_ms = None
                 if hasattr(task.model, "encode"):
                     model = task.model
+                    is_gennerf = task.name == "GenNerf"
 
                     @jax.jit
                     def enc(params, batch_stats, img):
+                        enc_args = (batch["projection"], img, batch["depth"])
+                        if is_gennerf:
+                            enc_args = enc_args + (key,)
                         repr_, _ = model.apply(
                             {"params": params, "batch_stats": batch_stats},
-                            batch["projection"], img, batch["depth"], key,
+                            *enc_args,
                             tuple(task.cfg.voxel_dim_train), jnp.zeros(3),
                             train=True, method=type(model).encode,
                             mutable=["batch_stats"])
-                        leaf = (repr_.planes["xz"] if repr_.planes is not None
-                                else repr_.volume)
+                        leaf = (getattr(repr_, "planes", None) or {}).get("xz") \
+                            if getattr(repr_, "planes", None) is not None \
+                            else repr_.volume
                         return leaf.astype(jnp.float32).sum()
 
                     enc_ms = timeit_chained(
