@@ -73,6 +73,11 @@ for STAGE in bench scale batch smoothing eikonal distill spatial; do
           > "$WORK/smooth_${s}_predict.log" 2>&1
         echo "smoothing=$s predict rc=$? (vertex counts:)"
         grep -oE "[0-9]+ vertices" "$WORK/smooth_${s}_predict.log" || true
+        timeout 2400 python -m gennerf_tpu.eval.evaluation \
+          --results "${out}_pred" --dataset "$WORK/multigeo/val.txt" \
+          --data-dir "$WORK/multigeo" --cpu \
+          > "$WORK/smooth_${s}_eval.log" 2>&1
+        echo "smoothing=$s eval rc=$?"
       done ;;
     eikonal)
       # step-cost A/B at flagship shapes (chained methodology)
