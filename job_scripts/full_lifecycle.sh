@@ -20,6 +20,16 @@ set -u
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 WORK="${WORK:-/tmp/lifecycle}"
 EPOCHS="${EPOCHS:-40}"
+# ACCEL=cpu runs every stage CPU-forced (integration proof while the chip
+# is busy); unset leaves the platform to each CLI's default (TPU when free)
+if [ "${ACCEL:-}" = "cpu" ]; then
+  export JAX_PLATFORMS=cpu
+  ACCEL_OVERRIDE="trainer.accelerator=cpu"
+  EVAL_CPU="--cpu"
+else
+  ACCEL_OVERRIDE=""
+  EVAL_CPU=""
+fi
 cd "$REPO"
 mkdir -p "$WORK"
 
@@ -98,7 +108,7 @@ python scripts/train.py experiment=seqs_multigeo_4cm \
   "data.datasets_train=[train2.txt]" "data.datasets_val=[val.txt]" \
   "data.datasets_test=[val.txt]" \
   trainer.min_epochs=$EPOCHS trainer.max_epochs=$EPOCHS \
-  trainer.check_val_every_n_epoch=10 logger=csv \
+  trainer.check_val_every_n_epoch=10 logger=csv $ACCEL_OVERRIDE \
   > "$WORK/train.log" 2>&1
 tend train $?
 
@@ -107,17 +117,17 @@ python scripts/predict.py "ckpt_path=$WORK/run/checkpoints" \
   "paths.data_dir=$WORK/staged" "paths.output_dir=$WORK/pred" \
   "data.datasets_test=[val.txt]" "data.dataset_type=scenes" \
   "data.num_frames_test=8" "data.voxel_size=0.04" \
-  "data.voxel_dim_test=[96,96,56]" "data.voxel_types=[tsdf]" \
+  "data.voxel_dim_test=[96,96,56]" "data.voxel_types=[tsdf]" $ACCEL_OVERRIDE \
   > "$WORK/predict.log" 2>&1
 tend predict $?
 
 tstart
 python -m gennerf_tpu.eval.evaluation --results "$WORK/pred" \
-  --dataset "$WORK/staged/val.txt" --data-dir "$WORK/staged" \
+  --dataset "$WORK/staged/val.txt" --data-dir "$WORK/staged" $EVAL_CPU \
   > "$WORK/eval.log" 2>&1
 rc=$?
 python -m gennerf_tpu.eval.evaluation_tsdf --results "$WORK/pred" \
-  --dataset "$WORK/staged/val.txt" --data-dir "$WORK/staged" \
+  --dataset "$WORK/staged/val.txt" --data-dir "$WORK/staged" $EVAL_CPU \
   > "$WORK/eval_tsdf.log" 2>&1
 tend eval $(( rc + $? ))
 
