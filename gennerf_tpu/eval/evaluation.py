@@ -47,11 +47,18 @@ def process(info_file: str, results_dir: str, max_depth: float = 10.0,
 
     # GT
     trgt_tsdf = TSDF.load(dataset.info["file_name_vol_%02d" % voxel_size_cm])
-    trgt_mesh = (
-        Mesh.load(dataset.info["file_name_mesh_gt"])
-        if "file_name_mesh_gt" in dataset.info
-        else trgt_tsdf.get_mesh()
-    )
+    # ScanNet ships a clean GT mesh; scenes prepared from bare .sens
+    # containers (synthetic / self-captured) only have the fused GT TSDF —
+    # mesh that instead of failing (info.json records the expected mesh
+    # path whether or not the raw data provided one)
+    mesh_gt_path = dataset.info.get("file_name_mesh_gt")
+    if mesh_gt_path and os.path.exists(mesh_gt_path):
+        trgt_mesh = Mesh.load(mesh_gt_path)
+    else:
+        if mesh_gt_path:
+            print(f"{scene}: GT mesh {mesh_gt_path} absent -> meshing the "
+                  f"fused GT TSDF at {voxel_size_cm} cm instead")
+        trgt_mesh = trgt_tsdf.get_mesh()
 
     # per-frame depth metrics + re-fusion of rendered depths (trims the
     # hole-filled regions the model invents outside observed space)
