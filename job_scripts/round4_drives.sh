@@ -90,6 +90,9 @@ for STAGE in bench scale batch smoothing eikonal distill spatial; do
       timeout 2400 python scripts/local/profile_train_step.py --step-only \
         --loss gradient > "$WORK/r4_step_gradient.log" 2>&1
       echo "step gradient rc=$?"
+      timeout 2400 python scripts/local/profile_train_step.py --step-only \
+        --loss distill > "$WORK/r4_step_distill.log" 2>&1
+      echo "step distill rc=$?"
       ensure_multigeo || continue
       timeout 7200 python scripts/train.py experiment=seqs_multigeo_4cm \
         "paths.data_dir=$WORK/multigeo" "paths.output_dir=$WORK/eikonal_run" \

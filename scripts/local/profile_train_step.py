@@ -24,10 +24,13 @@ def main():
     parser.add_argument("--step-only", action="store_true",
                         help="measure just the full train step (for A/B runs)")
     parser.add_argument("--loss", default="tsdf",
-                        choices=["tsdf", "eikonal", "gradient", "isdf"],
+                        choices=["tsdf", "eikonal", "gradient", "isdf",
+                                 "distill"],
                         help="enable an extra loss term (eikonal/gradient "
                              "ride the single-forward vjp decode path; isdf "
-                             "replaces tsdf) for step-cost A/Bs "
+                             "replaces tsdf; distill = render-mode semantic "
+                             "distillation with the march inside the step) "
+                             "for step-cost A/Bs "
                              "(reference model.py:360-430 loss modes)")
     args = parser.parse_args()
 
@@ -54,14 +57,35 @@ def main():
     if args.loss != "tsdf":
         import dataclasses
 
-        loss_overrides = {
-            "eikonal": {"use_eikonal": True},
-            "gradient": {"use_gradient": True},
-            "isdf": {"use_isdf": True, "use_tsdf": False},
-        }[args.loss]
-        cfg = dataclasses.replace(
-            cfg, loss=dataclasses.replace(cfg.loss, **loss_overrides))
-    model = GenNerf(cfg, dtype=dtype_for_precision(args.precision))
+        if args.loss == "distill":
+            # render-mode distillation at the shipped preset's budget
+            # (configs/experiment/distill_render_synthetic.yaml): the ray
+            # march runs INSIDE the train step on the live decoded field
+            cfg = dataclasses.replace(
+                cfg,
+                mlp=dataclasses.replace(cfg.mlp, d_out_sem=64),
+                teacher=dataclasses.replace(
+                    cfg.teacher, type="random_projection", feature_dim=64),
+                loss=dataclasses.replace(
+                    cfg.loss, use_distill=True,
+                    distill=dataclasses.replace(
+                        cfg.loss.distill, mode="render", render_rays=32,
+                        render_far=4.0)))
+        else:
+            loss_overrides = {
+                "eikonal": {"use_eikonal": True},
+                "gradient": {"use_gradient": True},
+                "isdf": {"use_isdf": True, "use_tsdf": False},
+            }[args.loss]
+            cfg = dataclasses.replace(
+                cfg, loss=dataclasses.replace(cfg.loss, **loss_overrides))
+    teacher = None
+    if args.loss == "distill":
+        from gennerf_tpu.models.teacher import make_teacher
+
+        teacher = make_teacher(cfg.teacher)
+    model = GenNerf(cfg, dtype=dtype_for_precision(args.precision),
+                    teacher=teacher)
     print(f"precision={args.precision} loss={args.loss} "
           f"(compute dtype {model.dtype})")
     T = args.frames
