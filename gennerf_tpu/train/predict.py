@@ -68,6 +68,41 @@ def decode_dense(
     return tsdf.reshape(-1)[:N]
 
 
+def _jax_runtime_error_types() -> tuple:
+    """Exception classes a failed device compile/execution surfaces as
+    (jax has moved these across versions; resolve what this build has)."""
+    errs = []
+    try:
+        from jax.errors import JaxRuntimeError
+
+        errs.append(JaxRuntimeError)
+    except ImportError:
+        pass
+    try:
+        from jaxlib.xla_extension import XlaRuntimeError
+
+        errs.append(XlaRuntimeError)
+    except ImportError:
+        pass
+    return tuple(errs) or (RuntimeError,)
+
+
+def _warn_tier_fall(tier: str, voxel_dim, err: BaseException) -> None:
+    """One-line note when a decode tier is skipped for a non-static reason
+    (compile rejection / runtime failure): the fall-through is silent for
+    the static NotImplementedError checks, but a Mosaic compile failure is
+    worth surfacing — the user is paying the slower tier."""
+    if isinstance(err, NotImplementedError):
+        return
+    import warnings
+
+    warnings.warn(
+        f"{tier} failed at voxel_dim {tuple(voxel_dim)} "
+        f"({type(err).__name__}: {str(err).splitlines()[0][:200]}); "
+        f"falling back to the next decode tier"
+    )
+
+
 def predict_tsdf_volume(
     model: GenNerf,
     variables,
@@ -89,6 +124,14 @@ def predict_tsdf_volume(
     gather path); (3) the chunked gather decode (non-triplane
     representations)."""
     origin_a = jnp.asarray(origin, jnp.float32)
+
+    # NotImplementedError = statically outside a tier's support (cheap
+    # checks). Mosaic can ALSO reject a statically-legal tile at compile
+    # time (observed: the reference-default [416,416,128] grid picks a
+    # legal tj=32 tile whose remote compile fails) — that surfaces as a
+    # jax runtime error at call time, and must fall through to the XLA
+    # tier rather than crash the predict CLI mid-run.
+    fallthrough = (NotImplementedError,) + _jax_runtime_error_types()
     if use_fused:
         if mesh is not None and int(np.prod(list(mesh.shape.values()))) > 1:
             try:
@@ -96,14 +139,14 @@ def predict_tsdf_volume(
                     model, variables, repr_, voxel_dim, voxel_size, origin_a,
                     mesh,
                 )
-            except NotImplementedError:
-                pass
+            except fallthrough as e:
+                _warn_tier_fall("sharded grid kernel", voxel_dim, e)
         try:
             return decode_grid_fused(
                 model, variables, repr_, voxel_dim, voxel_size, origin_a
             )
-        except NotImplementedError:
-            pass
+        except fallthrough as e:
+            _warn_tier_fall("grid kernel", voxel_dim, e)
         try:
             return decode_grid_separable_xla(
                 model, variables, repr_, voxel_dim, voxel_size, origin_a

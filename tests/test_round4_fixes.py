@@ -330,3 +330,66 @@ class TestEvalGtMeshFallback:
         # re-fusion trim, so only their presence is asserted)
         assert m["l1"] < 1e-6
         assert {"prec", "recal", "fscore"} <= set(m)
+
+
+class TestDecodeTierCompileFallback:
+    def test_mosaic_compile_failure_falls_through_with_warning(self, monkeypatch):
+        """A statically-legal tile can still be REJECTED by Mosaic at
+        compile time (observed at the reference-default [416,416,128]
+        grid: pick_grid_tile returns tj=32, the remote compile 500s).
+        The dispatcher must treat the jax runtime error like
+        NotImplementedError — warn + fall to the XLA tier — instead of
+        crashing the predict CLI."""
+        import jax
+        import jax.numpy as jnp
+
+        from gennerf_tpu.models.gen_nerf import GenNerf, SceneRepr
+        from gennerf_tpu.train import predict as P
+        from gennerf_tpu.train.tasks import GenNerfTask
+
+        rng = np.random.default_rng(0)
+        cfg = {
+            "type": "GenNerf", "voxel_size": 0.08,
+            "voxel_dim_train": [16, 16, 8], "voxel_dim_val": [16, 16, 8],
+            "voxel_dim_test": [16, 16, 8],
+            "encoder": {"use_spatial": False, "use_pointnet": True,
+                        "pointnet": {"num_sparse_points": 32, "c_dim": 8,
+                                     "hidden_dim": 8, "plane_resolution": 16,
+                                     "n_blocks": 2, "unet": False}},
+            "mlp": {"d_out_sem": 1, "d_out_geo": 8, "n_blocks": 2,
+                    "d_hidden": 32},
+        }
+        task = GenNerfTask(cfg)
+        B, T, H, W = 1, 2, 12, 16
+        batch = {
+            "projection": rng.standard_normal((B, T, 3, 4)).astype(np.float32),
+            "image": rng.standard_normal((B, T, 3, H, W)).astype(np.float32),
+            "depth": (rng.random((B, T, H, W)) + 0.5).astype(np.float32),
+            "vol_08_tsdf": rng.uniform(-1, 1, (B, 1, 16, 16, 8)).astype(np.float32),
+        }
+        batch["projection"][:, :, 2, 2] = 1.0
+        state = task.init_state(jax.random.PRNGKey(0), batch)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        repr_, _ = task.model.apply(
+            variables, jnp.asarray(batch["projection"]),
+            jnp.asarray(batch["image"]), jnp.asarray(batch["depth"]),
+            jax.random.PRNGKey(0), (16, 16, 8), jnp.zeros(3), train=False,
+            method=GenNerf.encode, mutable=["batch_stats"])
+        origin = np.asarray([0.05, -0.1, 0.02], np.float32)
+        voxel_dim = (16, 16, 8)
+
+        expected = P.decode_grid_separable_xla(
+            task.model, variables, repr_, voxel_dim, 0.08,
+            jnp.asarray(origin))
+
+        err_cls = P._jax_runtime_error_types()[0]
+
+        def exploding_fused(*a, **k):
+            raise err_cls("INTERNAL: tpu_compile_helper subprocess exit code 1")
+
+        monkeypatch.setattr(P, "decode_grid_fused", exploding_fused)
+        with pytest.warns(UserWarning, match="falling back to the next"):
+            vol = P.predict_tsdf_volume(
+                task.model, variables, repr_, voxel_dim, 0.08, origin)
+        np.testing.assert_allclose(np.asarray(vol), np.asarray(expected),
+                                   atol=1e-6)
