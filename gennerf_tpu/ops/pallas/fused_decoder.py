@@ -385,15 +385,19 @@ def _grid_kernel(qyz_ref, qxz_ref, qxy_ref, zx_ref, zy_ref, zz_ref,
     )
 
 
-def pick_grid_tile(ny: int, nz: int, max_points: int = 4096):
+def pick_grid_tile(ny: int, nz: int, max_points: int = 3072):
     """Largest j-tile whose point count tiles Mosaic's 1D output layout
     (1024-element multiples — a 1D out tile is effectively (8, 128)) with
     sublane-aligned block shapes (block dims divisible by 8 unless equal to
     the array dim), or None (caller falls back to the XLA path).
 
-    max_points=4096 is the v5e sweep optimum (BENCH.md round-2 log: with
-    the f32 projected tables, tile 6144 (tj=64) fails TPU compile on VMEM
-    and 3072 runs at ~76% MXU)."""
+    max_points=3072 is the largest tile PROVEN to compile on v5e (BENCH.md
+    round-2 log: 3072 runs at ~76% MXU; 6144 (tj=64) fails TPU compile on
+    VMEM; and round 4 found 4096 — tj=32 at the reference-default
+    [416,416,128] grid, nz=128 — statically legal but Mosaic-REJECTED at
+    compile time after ~500 s, crashing through to the XLA tier). Capping
+    at the proven tile makes the reference-default grid pick tj=16/2048,
+    which compiles and keeps the kernel tier at 3.5x the flagship points."""
     best = None
     for tj in range(1, min(ny, 64) + 1):
         if (

@@ -81,6 +81,25 @@ def device_peak_gb():
     return round(peak / 2**30, 3) if peak else None
 
 
+def compiled_memory_gb(task, state, batch, key):
+    """HBM envelope from XLA's own memory analysis of the compiled step
+    (args + outputs + temps − donated aliases). The axon tunnel device does
+    not expose runtime memory_stats, so this static analysis is the HBM
+    high-water source on this harness; it is exactly the number the XLA
+    allocator reserves, which is what determines max-B before OOM."""
+    try:
+        ma = task.train_step.lower(state, batch, key).compile().memory_analysis()
+        total = (ma.argument_size_in_bytes + ma.output_size_in_bytes
+                 + ma.temp_size_in_bytes - ma.alias_size_in_bytes)
+        return {
+            "hbm_total_gb": round(total / 2**30, 3),
+            "hbm_temp_gb": round(ma.temp_size_in_bytes / 2**30, 3),
+            "hbm_args_gb": round(ma.argument_size_in_bytes / 2**30, 3),
+        }
+    except Exception:
+        return None
+
+
 def timeit_chained(first, step, n=3, rep=10):
     """min-of-n of rep chained executions, one host fetch per block."""
     carry = first()
@@ -199,6 +218,8 @@ def main():
                                     else round(1000.0 / step_ms, 2)),
                     "peak_hbm_gb": device_peak_gb(),
                 }
+                if rec["peak_hbm_gb"] is None and not args.skip_step:
+                    rec.update(compiled_memory_gb(task, state0, batch, key) or {})
                 print(json.dumps(rec), flush=True)
             except Exception as e:  # OOM/compile failure IS the measurement
                 print(json.dumps({

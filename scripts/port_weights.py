@@ -68,6 +68,64 @@ def load_torch_state_dict(path):
     return {k: np.asarray(v) for k, v in obj.items() if hasattr(v, "shape")}
 
 
+def fabricate_resnet_state_dict(backbone: str, seed: int = 0):
+    """A torchvision-shaped ResNet state dict with He-init random weights.
+
+    This environment has no network and no torchvision, so no ImageNet
+    checkpoint can exist in-repo; `backbone` mode accepts the checkpoint
+    path `random:<backbone>` to fabricate one so the FULL graft path
+    (state-dict naming -> port_resnet_state_dict -> apply_pretrained_npz
+    shape-checked tree merge -> training) is exercised end-to-end in real
+    drives. With real ImageNet bytes, only the .pth path changes."""
+    from gennerf_tpu.models.resnet import RESNET_SPECS
+
+    rng = np.random.default_rng(seed)
+    block_cls, layer_counts = RESNET_SPECS[backbone]
+    bottleneck = block_cls.__name__ == "Bottleneck"
+    sd = {}
+
+    def conv(name, co, ci, k):
+        fan = ci * k * k
+        sd[name] = (rng.standard_normal((co, ci, k, k))
+                    * np.sqrt(2.0 / fan)).astype(np.float32)
+
+    def bn(prefix, c):
+        sd[prefix + ".weight"] = np.ones(c, np.float32)
+        sd[prefix + ".bias"] = np.zeros(c, np.float32)
+        sd[prefix + ".running_mean"] = np.zeros(c, np.float32)
+        sd[prefix + ".running_var"] = np.ones(c, np.float32)
+
+    conv("conv1.weight", 64, 3, 7)
+    bn("bn1", 64)
+    inplanes = 64
+    for stage in range(4):
+        planes = 64 * (2 ** stage)
+        for b in range(layer_counts[stage]):
+            prefix = f"layer{stage + 1}.{b}"
+            if bottleneck:
+                conv(f"{prefix}.conv1.weight", planes, inplanes, 1)
+                bn(f"{prefix}.bn1", planes)
+                conv(f"{prefix}.conv2.weight", planes, planes, 3)
+                bn(f"{prefix}.bn2", planes)
+                conv(f"{prefix}.conv3.weight", planes * 4, planes, 1)
+                bn(f"{prefix}.bn3", planes * 4)
+                out = planes * 4
+            else:
+                conv(f"{prefix}.conv1.weight", planes, inplanes, 3)
+                bn(f"{prefix}.bn1", planes)
+                conv(f"{prefix}.conv2.weight", planes, planes, 3)
+                bn(f"{prefix}.bn2", planes)
+                out = planes
+            # torchvision adds downsample on the first block of a stage when
+            # the shape changes (stride 2 in stages 2-4; channel expansion in
+            # resnet50's layer1)
+            if b == 0 and (stage > 0 or inplanes != out):
+                conv(f"{prefix}.downsample.0.weight", out, inplanes, 1)
+                bn(f"{prefix}.downsample.1", out)
+            inplanes = out
+    return sd
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("mode", choices=["backbone", "gen_nerf"])
@@ -82,7 +140,13 @@ def main(argv=None):
     parser.add_argument("--no-unet", action="store_true")
     args = parser.parse_args(argv)
 
-    sd = load_torch_state_dict(args.checkpoint)
+    if args.checkpoint.startswith("random:"):
+        if args.mode != "backbone":
+            parser.error("random: fabrication is backbone-mode only")
+        args.backbone = args.checkpoint.split(":", 1)[1] or args.backbone
+        sd = fabricate_resnet_state_dict(args.backbone)
+    else:
+        sd = load_torch_state_dict(args.checkpoint)
 
     if args.mode == "backbone":
         from gennerf_tpu.utils.port_torch import port_resnet_state_dict

@@ -303,7 +303,10 @@ class TestSeparableGridDecode:
         from gennerf_tpu.ops.pallas.fused_decoder import pick_grid_tile
 
         assert pick_grid_tile(256, 96) == 32   # flagship val grid: 32*96=3072
-        assert pick_grid_tile(416, 128) == 32  # test grid
+        # reference-default grid: tj=32 (4096 pts) is statically legal but
+        # Mosaic-rejected on v5e (BENCH.md round 4); the cap keeps it at the
+        # proven tile budget -> tj=16, 2048 pts
+        assert pick_grid_tile(416, 128) == 16
         assert pick_grid_tile(16, 64) == 16    # tiny test grid: 1024 pts
         # 128-pt tiles violate Mosaic's 1D-output 1024-multiple layout
         # (measured: tj*96 in {768, 1536} fails TPU compile) -> fallback

@@ -159,3 +159,56 @@ def test_port_weights_cli_end_to_end(rng, tmp_path):
     # training still steps with the grafted weights
     _, metrics = task.run_train_step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["combined"]))
+
+
+def test_fabricated_backbone_grafts_end_to_end(rng, tmp_path):
+    """`random:<backbone>` fabrication (the offline stand-in for ImageNet
+    bytes — scripts/port_weights.py) produces a torchvision-shaped state
+    dict whose port grafts cleanly onto the real resnet34 spatial config
+    used by the seqs_multigeo_spatial drive (num_layers=4 -> 3 stages)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts"))
+    import port_weights as pw_cli
+
+    npz = str(tmp_path / "resnet34_fab.npz")
+    pw_cli.main(["backbone", "random:resnet34", npz, "--num-stages", "3"])
+
+    from gennerf_tpu.train.tasks import GenNerfTask
+
+    cfg = {
+        "type": "GenNerf", "voxel_size": 0.08,
+        "voxel_dim_train": [16, 16, 8], "voxel_dim_val": [16, 16, 8],
+        "voxel_dim_test": [16, 16, 8],
+        "encoder": {"use_spatial": True, "use_pointnet": False,
+                    "spatial": {"backbone": "resnet34", "num_layers": 4,
+                                "blur_image": False, "pretrained_path": npz}},
+        "mlp": {"d_out_sem": 1, "d_out_geo": 8, "n_blocks": 2, "d_hidden": 32},
+    }
+    task = GenNerfTask(cfg)
+    batch = {
+        "projection": rng.standard_normal((1, 2, 3, 4)).astype(np.float32),
+        "image": rng.standard_normal((1, 2, 3, 16, 16)).astype(np.float32),
+        "depth": (rng.random((1, 2, 16, 16)) + 0.5).astype(np.float32),
+        "pose": np.tile(np.eye(4, dtype=np.float32), (1, 2, 1, 1)),
+        "intrinsics": np.tile((np.eye(3) * 10).astype(np.float32), (1, 2, 1, 1)),
+        "vol_08_tsdf": rng.uniform(-1, 1, (1, 1, 16, 16, 8)).astype(np.float32),
+    }
+    batch["projection"][:, :, 2, 2] = 1.0
+    state = task.init_state(jax.random.PRNGKey(0), batch)
+    # the grafted conv1 is the fabricated He-init tensor, not flax's default
+    from port_weights import fabricate_resnet_state_dict
+
+    fab = fabricate_resnet_state_dict("resnet34")
+    conv1 = np.asarray(state.params["spatial"]["resnet"]["conv1"]["kernel"])
+    np.testing.assert_array_equal(
+        conv1, fab["conv1.weight"].transpose(2, 3, 1, 0))
+    # fabricating the deepest kept stage matched too (layer3 first block)
+    k = np.asarray(
+        state.params["spatial"]["resnet"]["layer3_0"]["conv1"]["kernel"])
+    np.testing.assert_array_equal(
+        k, fab["layer3.0.conv1.weight"].transpose(2, 3, 1, 0))
+    _, metrics = task.run_train_step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["combined"]))
