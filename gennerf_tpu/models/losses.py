@@ -15,6 +15,21 @@ from ..ops.value_transforms import log_transform, smooth_log_transform
 from .config import LossConfig
 
 
+def _safe_norm(x, axis=-1, keepdims=False):
+    """L2 norm whose gradient at a zero vector is 0 (torch's convention).
+
+    jnp.linalg.norm's vjp at 0 is 0/0 -> NaN, and a NaN cotangent poisons
+    the params through ANY gated/masked loss — jnp.where zeroes the
+    forward value, not the backward path. This is not hypothetical: with
+    use_eikonal=true the zero-initialized heads make grad-TSDF exactly 0
+    at EVERY sample on step 0, so the very first update NaN'd the whole
+    model (caught by tests/test_train_e2e.py::TestEikonalTraining).
+    Forward value is bit-identical to jnp.linalg.norm."""
+    sq = jnp.sum(x * x, axis=axis, keepdims=keepdims)
+    safe = jnp.where(sq > 0, sq, 1.0)
+    return jnp.where(sq > 0, jnp.sqrt(safe), 0.0)
+
+
 def loss_tsdf(cfg: LossConfig, outputs, targets) -> jnp.ndarray:
     """L1 on (optionally log-rescaled) TSDF (reference model.py:331-358)."""
     pred = outputs["tsdf"]
@@ -67,7 +82,7 @@ def loss_eikonal(cfg: LossConfig, outputs, targets) -> jnp.ndarray:
     bit-faithful for the torch-oracle parity tests."""
     tsdf = targets["tsdf"]  # (B, N, 1)
     grad = outputs["grad"]  # (B, N, 3)
-    gnorm = jnp.linalg.norm(grad, axis=-1)
+    gnorm = _safe_norm(grad, axis=-1)
     loss = jnp.abs(gnorm - 1.0)[..., None]
     return jnp.where(tsdf < cfg.eikonal.apply_distance, 0.0, loss)
 
@@ -82,7 +97,7 @@ def loss_gradient(cfg: LossConfig, outputs, targets, num_rays: int) -> jnp.ndarr
 
     def cos(a, b):
         num = (a * b).sum(-1)
-        den = jnp.maximum(jnp.linalg.norm(a, axis=-1) * jnp.linalg.norm(b, axis=-1), 1e-6)
+        den = jnp.maximum(_safe_norm(a, axis=-1) * _safe_norm(b, axis=-1), 1e-6)
         return num / den
 
     surf_loss = 1.0 - cos(sampled_normals, grad[:, :, 0])  # (B, R)
@@ -97,7 +112,7 @@ def loss_gradient(cfg: LossConfig, outputs, targets, num_rays: int) -> jnp.ndarr
 def loss_feat(cfg: LossConfig, outputs, targets) -> jnp.ndarray:
     """Encourage non-degenerate encoder features (model.py:426-430)."""
     feat = outputs["feat"]
-    contribution = jnp.linalg.norm(feat, axis=-1).mean()
+    contribution = _safe_norm(feat, axis=-1).mean()
     return 1.0 / jnp.maximum(contribution, 1e-12)
 
 
@@ -113,8 +128,8 @@ def loss_distill(cfg: LossConfig, outputs, targets) -> jnp.ndarray:
     if cfg.distill.metric == "cosine":
         num = (pred * trgt).sum(-1, keepdims=True)
         den = jnp.maximum(
-            jnp.linalg.norm(pred, axis=-1, keepdims=True)
-            * jnp.linalg.norm(trgt, axis=-1, keepdims=True),
+            _safe_norm(pred, axis=-1, keepdims=True)
+            * _safe_norm(trgt, axis=-1, keepdims=True),
             1e-6,
         )
         loss = 1.0 - num / den

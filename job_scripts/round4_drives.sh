@@ -126,9 +126,18 @@ PY
       echo "distill render rc=$?" ;;
     spatial)
       ensure_multigeo || continue
-      timeout 28800 python scripts/train.py experiment=seqs_multigeo_spatial \
+      # matched-budget A/B against the half-budget pointnet-only probe
+      # (BENCH.md round 4: 120 epochs, F@5cm 0.895) — same data/budget/
+      # schedule, only the encoder adds the spatial path. The fabricated
+      # random:resnet34 graft exercises the pretrained-weight path end to
+      # end (no ImageNet bytes exist in this environment).
+      python scripts/port_weights.py backbone random:resnet34 \
+        "$WORK/resnet34_fab.npz" --num-stages 3 \
+        > "$WORK/spatial_port.log" 2>&1 || continue
+      timeout 14400 python scripts/train.py experiment=seqs_multigeo_spatial \
         "paths.data_dir=$WORK/multigeo" "paths.output_dir=$WORK/spatial_run" \
-        trainer.min_epochs=500 trainer.max_epochs=500 \
+        trainer.min_epochs=120 trainer.max_epochs=120 \
+        "model.encoder.spatial.pretrained_path=$WORK/resnet34_fab.npz" \
         logger=csv > "$WORK/spatial_train.log" 2>&1
       echo "spatial train rc=$?"
       timeout 2400 python scripts/predict.py \

@@ -124,6 +124,9 @@ def main():
     parser.add_argument("--width", type=int, default=640)
     parser.add_argument("--precision", default=None,
                         help="override trainer.precision (default: preset's)")
+    parser.add_argument("--remat", action="store_true",
+                        help="force model.remat=true (the HBM mitigation "
+                             "for the B*T folded 2D backbone activations)")
     parser.add_argument("--skip-step", action="store_true",
                         help="encode-only (skip the full train step)")
     parser.add_argument("--cpu", action="store_true")
@@ -150,14 +153,21 @@ def main():
 
     for name in args.models.split(","):
         preset = MODEL_PRESETS[name.strip()]
-        cfg = compose(config_dir, "train", [f"experiment={preset}"])
+        overrides = [f"experiment={preset}"]
+        if args.remat:
+            overrides.append("model.remat=true")
+        cfg = compose(config_dir, "train", overrides)
         precision = args.precision or cfg.get("trainer", {}).get("precision")
         task = make_task(cfg["model"], precision=precision)
         for B in [int(b) for b in args.batches.split(",")]:
             batch_np = build_batch(task, B, T, H, W, rng)
-            batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
             key = jax.random.PRNGKey(0)
+            batch = state0 = None
             try:
+                # the device upload is INSIDE the try: after an OOM at the
+                # previous B, leftover buffers can make even the host->HBM
+                # transfer fail, and that must be a recorded row, not a crash
+                batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
                 state0 = task.init_state(jax.random.PRNGKey(1), batch)
 
                 # encode-only timing: both model families expose encode()
@@ -208,7 +218,7 @@ def main():
 
                 rec = {
                     "model": name, "preset": preset, "B": B, "T": T,
-                    "precision": precision,
+                    "precision": precision, "remat": bool(args.remat),
                     "encode_ms": None if enc_ms is None else round(enc_ms, 2),
                     "encode_frames_per_s": (
                         None if enc_ms is None
@@ -224,7 +234,19 @@ def main():
             except Exception as e:  # OOM/compile failure IS the measurement
                 print(json.dumps({
                     "model": name, "B": B,
+                    "remat": bool(args.remat), "precision": precision,
                     "error": f"{type(e).__name__}: {str(e)[:300]}"}), flush=True)
+            finally:
+                # release HBM before the next configuration: drop array refs
+                # and the jit executable caches that pin donated buffers
+                del batch, state0
+                import gc
+
+                gc.collect()
+                try:
+                    jax.clear_caches()
+                except Exception:
+                    pass
 
 
 if __name__ == "__main__":

@@ -408,3 +408,61 @@ class TestBestCheckpointSelection:
         meta = json.load(open(os.path.join(pred_out, "predict_meta.json")))
         assert meta["epoch"] == best_idx
         assert meta["selected_by"] == "val_combined"
+
+
+@pytest.mark.slow
+class TestEikonalTraining:
+    def test_train_cli_descends_with_eikonal_loss(self, synth_data, tmp_path):
+        """VERDICT round-3 next #5: e2e descent with use_eikonal=true.
+        The eikonal term regularizes |grad tsdf| toward 1/trunc away from
+        the surface (reference model.py:360-430 loss modes); it must be
+        reported as a metric, stay finite, and the combined loss must still
+        converge through the real CLI (the vjp decode-with-grad path is in
+        the train step, not just the unit suite)."""
+        root, _ = synth_data
+        import train as train_cli
+
+        out = str(tmp_path / "run_eik")
+        train_cli.main([
+            "experiment=overfit_synthetic",
+            "data=frame",
+            f"paths.data_dir={root}",
+            f"paths.output_dir={out}",
+            "trainer.max_epochs=8",
+            "trainer.check_val_every_n_epoch=8",
+            "trainer.num_sanity_val_steps=0",
+            "data.datasets_train=[scans/scene_synth0/info.json]",
+            "data.datasets_val=[scans/scene_synth0/info.json]",
+            "data.datasets_test=[scans/scene_synth0/info.json]",
+            "data.frame_idx=0",
+            "data.length_train=4",
+            "data.length_val=1",
+            "data.voxel_dim_train=[40,40,20]",
+            "data.voxel_dim_val=[40,40,20]",
+            "data.voxel_dim_test=[40,40,20]",
+            "data.voxel_size=0.08",
+            "model.encoder.pointnet.plane_resolution=32",
+            "model.encoder.pointnet.num_sparse_points=128",
+            "model.mlp.d_hidden=128",
+            "model.ray.num_rays=32",
+            "model.optimizer.lr=0.001",
+            "model.loss.use_eikonal=true",
+            "model.loss.eikonal.weight=0.01",
+        ])
+        jsonl = os.path.join(out, "csv", "metrics.jsonl")
+        rows = [json.loads(l) for l in open(jsonl)]
+        eik = [r["train_eikonal"] for r in rows if "train_eikonal" in r]
+        tsdf = [r["train_tsdf"] for r in rows if "train_tsdf" in r]
+        assert len(eik) >= 10, "eikonal term not reported as a train metric"
+        # the original bug: jnp.linalg.norm's NaN vjp at the zero-init
+        # gradient field poisoned the params on step 0 — every metric after
+        # the first was NaN
+        assert np.isfinite(eik).all()
+        assert np.isfinite(tsdf).all()
+        # the regularizer itself optimizes: |grad|-1 descends from the
+        # zero-init field's ~1.8-5.5 to a stable sub-1 plateau (measured
+        # trajectory in BENCH.md); the data term pays a small tax at
+        # weight 0.01 but must not diverge (broken steps saturate to ~1.2)
+        assert np.mean(eik[-8:]) < 1.0, eik
+        assert np.mean(eik[-8:]) < np.mean(eik[:4]), eik
+        assert np.mean(tsdf[-8:]) < 0.5, tsdf
