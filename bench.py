@@ -253,6 +253,11 @@ def main():
     # 6.3M-pt decode is ~4.4 TFLOPs on one host core — keep the fallback
     # bounded at a few decodes
     on_tpu = platform == "tpu"
+    # contention guard (round-4 lesson: the official r04 bench ran while a
+    # training drive held the chip and recorded a 36% regression nobody
+    # flagged): snapshot host load going in, and compare the result to the
+    # recorded healthy envelope for this (platform, tier).
+    load_before = os.getloadavg()[0]
     REP = 10 if on_tpu else 2
     times = []
     for _ in range(3 if on_tpu else 1):
@@ -266,12 +271,33 @@ def main():
 
     baseline = get_baseline()
     ref_pps = baseline["reference_decode_points_per_sec"]
-    print(json.dumps({
+    result = {
         "metric": f"dense TSDF decode throughput ({platform}/{path}, flagship GenNerf decoder, {n_pts} pts)",
         "value": round(pps),
         "unit": "points/s",
         "vs_baseline": round(pps / ref_pps, 2),
-    }))
+    }
+    # healthy-envelope drift detection: measured clean-chip numbers for the
+    # flagship grid (BENCH.md: r03 bench 105.9M, r04 re-measure 103.1M).
+    # >20% below is almost certainly another process holding the chip/host,
+    # not a code regression — annotate so the artifact carries the caveat.
+    ENVELOPE_PPS = {("tpu", "pallas-grid"): 103.1e6}
+    envelope = ENVELOPE_PPS.get((platform, path))
+    spread = (max(times) / min(times)) if len(times) > 1 else 1.0
+    suspect = []
+    if envelope and pps < 0.8 * envelope:
+        suspect.append(
+            f"value is {pps / envelope:.2f}x the recorded clean-chip envelope "
+            f"({envelope / 1e6:.1f}M pts/s)")
+    if spread > 1.3:
+        suspect.append(f"trial spread {spread:.2f}x (steady chip: <1.1x)")
+    if load_before > 1.5:
+        suspect.append(f"host loadavg {load_before:.1f} at start (1-core host)")
+    if suspect:
+        result["contention_suspected"] = "; ".join(suspect)
+        print("WARNING: possible chip/host contention — " +
+              "; ".join(suspect), file=sys.stderr)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -29,6 +29,19 @@ class SpatialEncoderConfig:
     blur_image: bool = True
     kernel_size: int = 41
     sigma: float = 10.0
+    # 1x1 channel-reduce conv after the stage concat (the reference's
+    # latent-size reduction, spatial_encoder.py:74-77): shrinks both the
+    # backprojected volume's channel count and the decoder's d_in. At
+    # reference resolution (T=8 x 640x480) the full 512-ch resnet34 concat
+    # does not fit a 16 GB chip through backward; out_channels + frame_chunk
+    # are the two levers that make it fit (BENCH.md batch-scaling section).
+    out_channels: Optional[int] = None
+    # encode frames in chunks of this many (0 = all B*T frames in one conv
+    # pass): only one chunk's ResNet activation pyramid is live at a time,
+    # with the f32 volume accumulator carrying state between chunks — the
+    # scan-over-T formulation of the reference's per-frame python encode
+    # loop (model.py:100). Combine with model.remat for backward.
+    frame_chunk: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -191,6 +204,16 @@ class DistillLossConfig:
     weight: float = 1.0
     metric: str = "cosine"  # 'cosine' | 'l2'
     mode: str = "surface"  # 'surface' | 'render'
+    # Render-mode warm start: when the march finds no zero crossing along a
+    # ray (the early field is tanh-saturated and crossing-free), fall back
+    # to supervising e_sem at the GT-depth backprojected surface point of
+    # that ray instead of dropping it from the mask. Without this the
+    # `ok & hit` mask goes empty once the early field saturates and the
+    # distill term silently trains on NOTHING (observed: a 60-epoch drive
+    # logged train_distill = exactly 0.0 for epochs 1-59). The fallback is
+    # the reference's depth-backprojected 'surface' idea applied per-ray;
+    # as crossings form, supervision hands over to the marched points.
+    gt_warmstart: bool = True
     # render-mode march budget (per frame; renderer-default hierarchy)
     render_rays: int = 32
     render_steps: int = 16
@@ -279,7 +302,8 @@ class GenNerfConfig:
 
         d = 0
         if self.encoder.use_spatial:
-            d += spatial_latent_size(self.encoder.spatial.backbone, self.encoder.spatial.num_layers)
+            s = self.encoder.spatial
+            d += s.out_channels or spatial_latent_size(s.backbone, s.num_layers)
         if self.encoder.use_pointnet:
             d += self.encoder.pointnet.c_dim
         if self.encoder.use_auxiliary:

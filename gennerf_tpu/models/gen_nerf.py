@@ -83,6 +83,7 @@ class GenNerf(nn.Module):
                 blur_image=s.blur_image,
                 kernel_size=s.kernel_size,
                 sigma=s.sigma,
+                out_channels=s.out_channels,
                 dtype=self.dtype,
             )
         if enc.use_pointnet:
@@ -185,22 +186,44 @@ class GenNerf(nn.Module):
             # boundaries; run the 2D encoder on the folded (B*T) frame axis
             # (one big batched conv pass — better MXU utilization than a
             # python loop), then scan the backprojection accumulation.
-            images_bt = image.reshape(B * T, *image.shape[2:])
-            feat_2d = []
-            if enc.use_spatial:
-                feat_2d.append(self.spatial(images_bt, train))
-            if enc.use_auxiliary and self.teacher is not None:
-                feat_2d.append(self.teacher(images_bt))
-            feat_2d = jnp.concatenate(feat_2d, axis=1)  # (B*T, C, H', W')
+            # With spatial.frame_chunk the frame axis is instead processed
+            # in chunks accumulating into the f32 volume (the reference's
+            # per-frame encode loop, model.py:100): only one chunk's ResNet
+            # pyramid is live at a time — the lever that fits reference
+            # resolution (T=8 x 640x480) on a 16 GB chip. BN running stats
+            # update once per chunk instead of once per step (same
+            # information, momentum applied T/chunk times).
+            def encode_frames(imgs_bt):
+                f2d = []
+                if enc.use_spatial:
+                    f2d.append(self.spatial(imgs_bt, train))
+                if enc.use_auxiliary and self.teacher is not None:
+                    f2d.append(self.teacher(imgs_bt))
+                return jnp.concatenate(f2d, axis=1)  # (B*chunk, C, H', W')
+
             # depth intrinsics scale: the reference backprojects the
             # feature map's pixel grid (the 2D encoder may change
             # resolution), so backproject_fold rescales the projections to
             # feature pixels; the T-frame running sum stays f32 (bf16-mixed
             # accumulator policy).
-            volume, valid = backproject_fold(
-                feat_2d, projection, image.shape[-2:], voxel_dim,
-                cfg.voxel_size, origin, remat=cfg.remat,
-            )
+            chunk = enc.spatial.frame_chunk if enc.use_spatial else 0
+            if 0 < chunk < T:
+                for t0 in range(0, T, chunk):
+                    t1 = min(t0 + chunk, T)
+                    imgs_c = image[:, t0:t1].reshape(B * (t1 - t0), *image.shape[2:])
+                    v, m = backproject_fold(
+                        encode_frames(imgs_c), projection[:, t0:t1],
+                        image.shape[-2:], voxel_dim, cfg.voxel_size, origin,
+                        remat=cfg.remat,
+                    )
+                    volume = v if volume is None else volume + v
+                    valid = m if valid is None else valid + m
+            else:
+                volume, valid = backproject_fold(
+                    encode_frames(image.reshape(B * T, *image.shape[2:])),
+                    projection, image.shape[-2:], voxel_dim,
+                    cfg.voxel_size, origin, remat=cfg.remat,
+                )
 
         planes = None
         if enc.use_pointnet:

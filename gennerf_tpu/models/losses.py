@@ -209,10 +209,19 @@ def calculate_loss(
         tm = targets.get("teacher_mask")
         d = m.sum() / jnp.maximum(jnp.broadcast_to(tm, m.shape).sum(), 1.0) if tm is not None else m.mean()
         losses["distill"] = d
+        if tm is not None:
+            # in-band dead-signal detector: a masked term whose support
+            # fraction is 0 logs loss 0.0, indistinguishable from
+            # 'perfectly distilled' (a 60-epoch drive trained on nothing
+            # for 59 epochs before this scalar existed). The train loop
+            # warns when this stays 0 through an epoch.
+            losses["distill_coverage"] = tm.mean()
         # separate sample set from the main loss matrix -> add its mean
         loss_scalar = loss_scalar + cfg.distill.weight * d
     combined = (
         _masked_mean(loss_mat, valid) if hasattr(loss_mat, "mean") else loss_mat
     ) + loss_scalar
+    if valid is not None:
+        losses["valid_coverage"] = valid.mean()
     losses["combined"] = combined
     return combined, losses

@@ -90,9 +90,27 @@ class VoxelNet(nn.Module):
         origin: jnp.ndarray,
         train: bool = False,
     ) -> VolumeRepr:
-        """(B, T, ...) frames -> accumulated feature volume (scan over T)."""
+        """(B, T, ...) frames -> accumulated feature volume (scan over T).
+
+        spatial.frame_chunk > 0 processes the frame axis in chunks with the
+        f32 accumulator carrying state (only one chunk's ResNet pyramid live
+        at a time — see SpatialEncoderConfig.frame_chunk)."""
         cfg = self.cfg
         B, T = projection.shape[:2]
+        chunk = cfg.encoder.spatial.frame_chunk
+        if 0 < chunk < T:
+            volume = valid = None
+            for t0 in range(0, T, chunk):
+                t1 = min(t0 + chunk, T)
+                imgs_c = image[:, t0:t1].reshape(B * (t1 - t0), *image.shape[2:])
+                v, m = backproject_fold(
+                    self.spatial(imgs_c, train), projection[:, t0:t1],
+                    image.shape[-2:], voxel_dim, cfg.voxel_size, origin,
+                    remat=cfg.remat,
+                )
+                volume = v if volume is None else volume + v
+                valid = m if valid is None else valid + m
+            return VolumeRepr(volume, valid)
         images_bt = image.reshape(B * T, *image.shape[2:])
         feat_2d = self.spatial(images_bt, train)  # (B*T, C, H', W')
         volume, valid = backproject_fold(

@@ -348,6 +348,18 @@ class Trainer:
                 ", ".join(f"{k_}={v:.4f}" for k_, v in last_metrics.items()) +
                 f" ({dt:.1f}s)"
             )
+            # masked-loss dead-signal guard: a *_coverage scalar at exactly
+            # 0 means the matching masked term trained on NOTHING this
+            # epoch while logging loss 0.0 (the round-4 distill drive ran
+            # 59 such epochs unnoticed)
+            for k_, v in last_metrics.items():
+                if k_.endswith("_coverage") and v == 0.0:
+                    self.log.warning(
+                        f"{k_} == 0 at epoch {epoch}: the corresponding "
+                        "masked loss term has ZERO support — it is training "
+                        "on nothing (its logged loss of 0.0 is vacuous). "
+                        "Check the teacher/validity masks."
+                    )
 
             val_metrics = None
             if (epoch + 1) % self.check_val_every_n_epoch == 0:

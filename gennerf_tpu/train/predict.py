@@ -9,6 +9,7 @@ parallel — no collectives).
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional, Tuple
 
@@ -87,6 +88,26 @@ def _jax_runtime_error_types() -> tuple:
     return tuple(errs) or (RuntimeError,)
 
 
+_compile_notice_shapes = set()
+
+
+def _log_first_compile_notice(voxel_dim) -> None:
+    """One informational line per process per grid shape before the kernel
+    tier: a cache-cold Mosaic compile takes minutes (BENCH.md: 445 s at
+    [416,416,128]) and predict would otherwise look hung."""
+    shape = tuple(int(v) for v in voxel_dim)
+    if shape in _compile_notice_shapes:
+        return
+    _compile_notice_shapes.add(shape)
+    import logging
+
+    logging.getLogger("gennerf_tpu.predict").info(
+        f"decoding grid {shape}: first use of a new grid shape compiles the "
+        f"TPU kernel (can take minutes; cached afterwards under "
+        f"{os.environ.get('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_comp_cache')})"
+    )
+
+
 def _warn_tier_fall(tier: str, voxel_dim, err: BaseException) -> None:
     """One-line note when a decode tier is skipped for a non-static reason
     (compile rejection / runtime failure): the fall-through is silent for
@@ -133,6 +154,13 @@ def predict_tsdf_volume(
     # tier rather than crash the predict CLI mid-run.
     fallthrough = (NotImplementedError,) + _jax_runtime_error_types()
     if use_fused:
+        # first decode of a NEW grid shape pays a fresh Mosaic kernel
+        # compile (~minutes through the remote compiler on the tunneled
+        # TPU; 445 s measured for [416,416,128], BENCH.md) — amortized by
+        # the persistent compile cache (JAX_COMPILATION_CACHE_DIR) for
+        # every later run at the same shape. Say so, or a one-shot predict
+        # looks hung before its first voxel.
+        _log_first_compile_notice(voxel_dim)
         if mesh is not None and int(np.prod(list(mesh.shape.values()))) > 1:
             try:
                 return decode_grid_fused_sharded(

@@ -181,6 +181,7 @@ def gen_nerf_forward_loss(
         targets_bt["grad_vec"] = sup["grad_vec"]
 
     # semantic distillation toward the 2D teacher at surface samples
+    extra_metrics: Dict[str, jnp.ndarray] = {}
     distill_on = cfg.loss.use_distill and model.teacher is not None
     if distill_on and cfg.loss.distill.mode == "surface" and cfg.sampling_mode == "ray":
         from ..models.teacher import sample_teacher_features
@@ -212,6 +213,7 @@ def gen_nerf_forward_loss(
         depth_bt = batch["depth"].reshape(BT, H, W)
         intr_bt = batch["intrinsics"].reshape(BT, 3, 3)
         pose_bt = batch["pose"].reshape(BT, 4, 4)
+        proj_bt = batch["projection"].reshape(BT, 3, 4)
         images_bt = batch["image"].reshape(BT, 3, H, W)
 
         k_render = jax.random.fold_in(k_sample, 7)
@@ -245,20 +247,36 @@ def gen_nerf_forward_loss(
         )
         depth_r = jax.lax.stop_gradient(depth_r)  # (B, T*Rr)
         pts_r = origins.reshape(B, T * Rr, 3) + dirs.reshape(B, T * Rr, 3) * depth_r[..., None]
+        hit_bt = hit.reshape(BT, Rr)
+        if dcfg.gt_warmstart:
+            # no crossing yet (saturated early field) -> supervise at the
+            # GT-depth surface point of the same ray; keeps the distill
+            # term alive from epoch 0 (see DistillLossConfig.gt_warmstart)
+            surface_map = ops.get_3d_points(depth_bt, proj_bt)  # (BT, H, W, 3)
+            bidx = jnp.arange(BT)[:, None]
+            pts_gt = surface_map[bidx, h_r, w_r].reshape(B, T * Rr, 3)
+            pts_r = jnp.where(hit.reshape(B, T * Rr)[..., None], pts_r, pts_gt)
+            mask_r = ok_r  # any valid-depth ray has a supervision point
+        else:
+            mask_r = ok_r & hit_bt
         out_r = model.apply(variables, repr_, pts_r, origin, method=GenNerf.decode)
         outputs_bt["feat_sem_surface"] = out_r["feat_sem"].reshape(BT, Rr, -1)
 
         tmap = model.teacher(images_bt)  # (BT, C, H', W')
         targets_bt["teacher_feat"] = sample_teacher_features(tmap, h_r, w_r, (H, W))
-        targets_bt["teacher_mask"] = (
-            ok_r & hit.reshape(BT, Rr)
-        )[..., None].astype(jnp.float32)
+        targets_bt["teacher_mask"] = mask_r[..., None].astype(jnp.float32)
+        extra_metrics["render_hit_rate"] = hit_bt.mean()
 
     combined, losses = calculate_loss(
         cfg.loss, outputs_bt, targets_bt, num_rays=cfg.ray.num_rays
     )
-    # reference accumulates per-frame means over T (add_dicts, model.py:688)
-    metrics = {k: v * T for k, v in losses.items()}
+    # reference accumulates per-frame means over T (add_dicts, model.py:688);
+    # coverage/rate diagnostics are fractions and stay unscaled
+    metrics = {
+        k: (v if k.endswith(("_coverage", "_rate")) else v * T)
+        for k, v in losses.items()
+    }
+    metrics.update(extra_metrics)
     return metrics["combined"], metrics, new_stats
 
 

@@ -127,6 +127,11 @@ def main():
     parser.add_argument("--remat", action="store_true",
                         help="force model.remat=true (the HBM mitigation "
                              "for the B*T folded 2D backbone activations)")
+    parser.add_argument("--override", action="append", default=[],
+                        help="extra config overrides, repeatable (e.g. "
+                             "model.encoder.spatial.frame_chunk=1 "
+                             "model.encoder.spatial.out_channels=64 — the "
+                             "reference-style spatial memory mitigations)")
     parser.add_argument("--skip-step", action="store_true",
                         help="encode-only (skip the full train step)")
     parser.add_argument("--cpu", action="store_true")
@@ -156,6 +161,7 @@ def main():
         overrides = [f"experiment={preset}"]
         if args.remat:
             overrides.append("model.remat=true")
+        overrides.extend(args.override)
         cfg = compose(config_dir, "train", overrides)
         precision = args.precision or cfg.get("trainer", {}).get("precision")
         task = make_task(cfg["model"], precision=precision)
@@ -219,6 +225,7 @@ def main():
                 rec = {
                     "model": name, "preset": preset, "B": B, "T": T,
                     "precision": precision, "remat": bool(args.remat),
+                    "overrides": args.override or None,
                     "encode_ms": None if enc_ms is None else round(enc_ms, 2),
                     "encode_frames_per_s": (
                         None if enc_ms is None
@@ -235,6 +242,7 @@ def main():
                 print(json.dumps({
                     "model": name, "B": B,
                     "remat": bool(args.remat), "precision": precision,
+                    "overrides": args.override or None,
                     "error": f"{type(e).__name__}: {str(e)[:300]}"}), flush=True)
             finally:
                 # release HBM before the next configuration: drop array refs

@@ -155,6 +155,55 @@ class TestSpatialEncoderTraining:
         )
         assert moved
 
+    def _spatial_cfg(self, **spatial_over):
+        cfg = _tiny_cfg()
+        spatial = {"backbone": "resnet18", "num_layers": 2,
+                   "feature_scale": 1.0, "blur_image": False}
+        spatial.update(spatial_over)
+        cfg["encoder"] = {"use_spatial": True, "spatial": spatial,
+                          "use_pointnet": False}
+        return cfg
+
+    def test_frame_chunk_encode_matches_one_pass(self, rng):
+        """spatial.frame_chunk (the scan-over-T memory lever for reference
+        resolution, SpatialEncoderConfig.frame_chunk) must be numerically
+        equivalent to the one-pass folded encode: same params, eval mode
+        (fixed BN stats), chunk=1 vs chunk=0 -> same losses."""
+        batch = _batch(rng, B=1, T=4, H=16, W=16)
+        task0 = GenNerfTask(self._spatial_cfg())
+        task1 = GenNerfTask(self._spatial_cfg(frame_chunk=1))
+        task3 = GenNerfTask(self._spatial_cfg(frame_chunk=3))  # ragged tail
+        state = task0.init_state(jax.random.PRNGKey(0), batch)
+        m0 = task0.run_eval_step(state, batch, jax.random.PRNGKey(1))
+        m1 = task1.run_eval_step(state, batch, jax.random.PRNGKey(1))
+        m3 = task3.run_eval_step(state, batch, jax.random.PRNGKey(1))
+        for m in (m1, m3):
+            np.testing.assert_allclose(
+                float(m["combined"]), float(m0["combined"]), rtol=1e-5
+            )
+        # and the chunked TRAIN step runs (remat composes with the loop)
+        cfg_r = self._spatial_cfg(frame_chunk=1)
+        cfg_r["remat"] = True
+        task_r = GenNerfTask(cfg_r)
+        state_r = task_r.init_state(jax.random.PRNGKey(0), batch)
+        _, metrics = task_r.run_train_step(state_r, batch, jax.random.PRNGKey(2))
+        assert np.isfinite(float(metrics["combined"]))
+
+    def test_out_channels_reduces_latent(self, rng):
+        """spatial.out_channels (the reference's 1x1 channel-reduce,
+        spatial_encoder.py:74-77) shrinks the decoder d_in and the
+        backprojected volume channels; the step still trains."""
+        from gennerf_tpu.models.config import GenNerfConfig, config_from_dict
+
+        cfg_d = self._spatial_cfg(out_channels=8)
+        cfg = config_from_dict(GenNerfConfig, cfg_d)
+        assert cfg.encoder_latent == 8
+        task = GenNerfTask(cfg_d)
+        batch = _batch(rng, B=1, T=2, H=16, W=16)
+        state = task.init_state(jax.random.PRNGKey(0), batch)
+        _, metrics = task.run_train_step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["combined"]))
+
 
 class TestFusionLabels:
     def test_label_volume_accumulates(self, rng):

@@ -128,6 +128,43 @@ class TestRenderDistillTraining:
         batch["projection"][:, :, 2, 2] = 1.0
         return batch
 
+    def test_gt_warmstart_keeps_signal_alive_on_crossing_free_field(self, rng):
+        """Round-4 regression: a saturated (crossing-free) field emptied the
+        `ok & hit` teacher mask and the distill term logged exactly 0.0 for
+        59/60 epochs — training on nothing. With gt_warmstart (default),
+        no-hit rays fall back to their GT-depth surface points, so the term
+        has support and a positive value whenever depth is valid; the new
+        distill_coverage / render_hit_rate scalars expose the mask state
+        in-band."""
+        from gennerf_tpu.train.tasks import GenNerfTask
+
+        # march window far behind the 1.28x1.28x0.64 m volume box: the
+        # AABB-clipped intervals are empty, so NO ray ever hits — the
+        # deterministic analog of the saturated-field regime
+        cfg = self._cfg()
+        cfg["loss"]["distill"]["render_near"] = 4.0
+        cfg["loss"]["distill"]["render_far"] = 4.5
+        batch = self._batch(rng)
+
+        task = GenNerfTask(cfg)
+        state = task.init_state(jax.random.PRNGKey(0), batch)
+        _, metrics = task.run_train_step(state, batch, jax.random.PRNGKey(10))
+        assert float(metrics["render_hit_rate"]) == 0.0
+        assert float(metrics["distill_coverage"]) > 0.0  # GT-depth fallback
+        assert float(metrics["distill"]) > 0.0  # live signal from epoch 0
+
+        # without the warm start the term dies silently (the round-4 bug),
+        # and the coverage scalar is what makes that visible
+        cfg_off = self._cfg()
+        cfg_off["loss"]["distill"]["render_near"] = 4.0
+        cfg_off["loss"]["distill"]["render_far"] = 4.5
+        cfg_off["loss"]["distill"]["gt_warmstart"] = False
+        task_off = GenNerfTask(cfg_off)
+        state_off = task_off.init_state(jax.random.PRNGKey(0), batch)
+        _, m_off = task_off.run_train_step(state_off, batch, jax.random.PRNGKey(10))
+        assert float(m_off["distill_coverage"]) == 0.0
+        assert float(m_off["distill"]) == 0.0
+
     def test_render_distill_engages(self, rng):
         """mode='render': rays marched through the live decoded field inside
         the train step; hit rays produce a strictly positive masked cosine
