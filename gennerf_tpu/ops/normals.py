@@ -47,7 +47,22 @@ def estimate_pointcloud_normals(points: jnp.ndarray, d: int = 2) -> jnp.ndarray:
     diff = jnp.where(jnp.isnan(diff), jnp.inf, diff)
     best = jnp.argmin(diff, axis=0)  # (H, W)
 
-    sel2 = jnp.take_along_axis(p2, best[None, :, :, None], axis=0)[0]  # (H, W, 3)
-    sel3 = jnp.take_along_axis(p3, best[None, :, :, None], axis=0)[0]
+    # neighbor-pair selection as a one-hot masked sum over the 8-way axis
+    # instead of take_along_axis: a per-pixel dynamic gather over H*W
+    # elements lowers to scalar address math on TPU, while 8 selects + a
+    # sum stay fully vectorized on the VPU. Bit-exact with the gather:
+    # when diff[best] is finite the selected slot is NaN-free (any NaN in
+    # the pair makes its norm NaN -> diff inf), so the masked sum IS the
+    # selected value; when every direction is invalid (all-inf diff) the
+    # gather version produced NaN through a NaN operand — restored below.
+    onehot = best[None] == jnp.arange(8)[:, None, None]  # (8, H, W)
+    z2 = jnp.where(jnp.isnan(p2), 0.0, p2)
+    z3 = jnp.where(jnp.isnan(p3), 0.0, p3)
+    sel2 = jnp.sum(jnp.where(onehot[..., None], z2, 0.0), axis=0)  # (H, W, 3)
+    sel3 = jnp.sum(jnp.where(onehot[..., None], z3, 0.0), axis=0)
     normals = jnp.cross(sel2 - anchor, sel3 - anchor)
-    return normals / jnp.linalg.norm(normals, axis=-1, keepdims=True)
+    normals = normals / jnp.linalg.norm(normals, axis=-1, keepdims=True)
+    # all-inf diff covers the anchor-NaN case too (a NaN anchor NaNs every
+    # pairwise norm, so every direction reads inf)
+    undefined = jnp.isinf(diff.min(axis=0))
+    return jnp.where(undefined[..., None], jnp.nan, normals)

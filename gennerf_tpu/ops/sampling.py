@@ -186,12 +186,20 @@ def farthest_point_sample(key, xyz: jnp.ndarray, npoint: int,
     """
     B, N, _ = xyz.shape
     if use_pallas is None:
+        import os
+
         from .pallas.fps import fps_pallas_supported
 
-        use_pallas = (
-            jax.devices()[0].platform == "tpu"
-            and fps_pallas_supported(B, N, npoint)
-        )
+        # escape hatch for shape-specific Mosaic toolchain failures (the
+        # B=4 remote-compile bisect, BENCH.md batch-scaling notes): forces
+        # the bit-identical XLA fori_loop path without a config change
+        if os.environ.get("GENNERF_FPS_PALLAS", "").lower() in ("0", "false"):
+            use_pallas = False
+        else:
+            use_pallas = (
+                jax.devices()[0].platform == "tpu"
+                and fps_pallas_supported(B, N, npoint)
+            )
     if use_pallas:
         from .pallas.fps import fps_pallas
 

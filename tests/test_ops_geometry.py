@@ -406,3 +406,39 @@ class TestNormals:
         interior = n[3:-3, 3:-3]
         assert np.isfinite(interior).all()
         np.testing.assert_allclose(np.abs(interior[..., 2]), 1.0, atol=1e-5)
+
+    def test_select_formulation_matches_gather_oracle(self):
+        """The TPU-friendly one-hot select formulation must match the
+        original take_along_axis formulation (numpy oracle) pixel-for-pixel
+        on a point map with NaN holes — including which pixels come out
+        NaN (undefined normals)."""
+        rng = np.random.default_rng(0)
+        H, W, d = 20, 24, 2
+        pts = rng.standard_normal((H, W, 3)).astype(np.float32)
+        pts[rng.random((H, W)) < 0.15] = np.nan  # invalid-depth holes
+
+        ours = np.asarray(ops.estimate_pointcloud_normals(jnp.asarray(pts)))
+
+        lookups = [(-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1)]
+        padded = np.full((H + 2 * d, W + 2 * d, 3), np.nan, np.float32)
+        padded[d:-d, d:-d] = pts
+
+        def shifted(k):
+            dy, dx = lookups[k]
+            return padded[d + dy * d : d + dy * d + H, d + dx * d : d + dx * d + W]
+
+        p2 = np.stack([shifted(k) for k in range(8)])
+        p3 = np.stack([shifted((k + 2) % 8) for k in range(8)])
+        with np.errstate(invalid="ignore"):
+            diff = np.linalg.norm(p2 - pts[None], axis=-1) + np.linalg.norm(
+                p3 - pts[None], axis=-1)
+            diff = np.where(np.isnan(diff), np.inf, diff)
+            best = diff.argmin(0)
+            sel2 = np.take_along_axis(p2, best[None, :, :, None], axis=0)[0]
+            sel3 = np.take_along_axis(p3, best[None, :, :, None], axis=0)[0]
+            oracle = np.cross(sel2 - pts, sel3 - pts)
+            oracle = oracle / np.linalg.norm(oracle, axis=-1, keepdims=True)
+
+        np.testing.assert_array_equal(np.isnan(ours), np.isnan(oracle))
+        ok = ~np.isnan(oracle)
+        np.testing.assert_allclose(ours[ok], oracle[ok], rtol=1e-5, atol=1e-6)
