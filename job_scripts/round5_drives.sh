@@ -149,7 +149,8 @@ PY
         > "$WORK/spatial_port.log" 2>&1 || continue
       # matched-budget A/B vs the 120-epoch pointnet-only probe (F 0.895)
       train_resumable spatial "$WORK/spatial_run" 10800 3 \
-        experiment=seqs_multigeo_spatial "paths.data_dir=$WORK/multigeo" \
+        experiment=seqs_multigeo_spatial trainer=tpu \
+        "paths.data_dir=$WORK/multigeo" \
         trainer.min_epochs=120 trainer.max_epochs=120 \
         "model.encoder.spatial.pretrained_path=$WORK/resnet34_fab.npz" \
         logger=csv
@@ -160,7 +161,8 @@ PY
       # tsdf-only arm; round-4's 150-epoch attempt died at the queue cap
       # inside the saturation cliff, VERDICT next #3)
       train_resumable eikonal "$WORK/eikonal_run" 7200 4 \
-        experiment=seqs_multigeo_4cm "paths.data_dir=$WORK/multigeo" \
+        experiment=seqs_multigeo_4cm trainer=tpu \
+        "paths.data_dir=$WORK/multigeo" \
         trainer.min_epochs=500 trainer.max_epochs=500 \
         model.loss.use_eikonal=true model.loss.eikonal.weight=0.01 \
         logger=csv
@@ -172,7 +174,8 @@ PY
       # the round-4 GT-placed convention so the 0.956/0.904 family of
       # numbers shares one protocol
       train_resumable flagship "$WORK/flagship_run" 7200 4 \
-        experiment=seqs_multigeo_4cm "paths.data_dir=$WORK/multigeo" \
+        experiment=seqs_multigeo_4cm trainer=tpu \
+        "paths.data_dir=$WORK/multigeo" \
         trainer.min_epochs=500 trainer.max_epochs=500 logger=csv
       predict_eval flagship "$WORK/flagship_run" "$WORK/multigeo" ;;
     batch)
