@@ -68,10 +68,12 @@ class GenNerf(nn.Module):
         if enc.use_spatial:
             s = enc.spatial
             # remat: recompute the 2D backbone's activations in backward —
-            # at (B*T) folded frames they are the largest activation block
+            # at (B*T) folded frames they are the largest activation block.
+            # With frame_chunk the remat boundary moves OUT to the whole
+            # chunk fold (see encode) — don't double-wrap the encoder.
             spatial_cls = (
                 nn.remat(SpatialEncoder, static_argnums=(2,))
-                if self.cfg.remat else SpatialEncoder
+                if (self.cfg.remat and not s.frame_chunk) else SpatialEncoder
             )
             self.spatial = spatial_cls(
                 backbone=s.backbone,
@@ -208,14 +210,29 @@ class GenNerf(nn.Module):
             # accumulator policy).
             chunk = enc.spatial.frame_chunk if enc.use_spatial else 0
             if 0 < chunk < T:
+                # the WHOLE chunk (2D encode + backproject) is one remat
+                # region: only the (C, V) volume contribution crosses the
+                # boundary into autodiff residuals. Rematting just the
+                # encoder still saved every chunk's full-resolution latent
+                # (512ch x 640x480 per frame) as a boundary output —
+                # measured 18.6 GB for T=8, over the 15.75 GB chip.
+                def chunk_fold(mdl, imgs_c, proj_c, origin_):
+                    f2d = []
+                    if enc.use_spatial:
+                        f2d.append(mdl.spatial(imgs_c, train))
+                    if enc.use_auxiliary and mdl.teacher is not None:
+                        f2d.append(mdl.teacher(imgs_c))
+                    return backproject_fold(
+                        jnp.concatenate(f2d, axis=1), proj_c,
+                        image.shape[-2:], voxel_dim, cfg.voxel_size,
+                        origin_, remat=False,
+                    )
+
+                fold = nn.remat(chunk_fold) if cfg.remat else chunk_fold
                 for t0 in range(0, T, chunk):
                     t1 = min(t0 + chunk, T)
                     imgs_c = image[:, t0:t1].reshape(B * (t1 - t0), *image.shape[2:])
-                    v, m = backproject_fold(
-                        encode_frames(imgs_c), projection[:, t0:t1],
-                        image.shape[-2:], voxel_dim, cfg.voxel_size, origin,
-                        remat=cfg.remat,
-                    )
+                    v, m = fold(self, imgs_c, projection[:, t0:t1], origin)
                     volume = v if volume is None else volume + v
                     valid = m if valid is None else valid + m
             else:

@@ -32,7 +32,12 @@ class BasicBlock(nn.Module):
             return nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 axis_name=self.axis_name if self.norm_type == "sync_batch" else None,
-                dtype=jnp.float32, name=name,
+                # mixed-precision policy: statistics/params stay f32 (flax
+                # computes norm stats in f32 internally), but the RETURN
+                # dtype follows the module — a jnp.float32 return here
+                # silently upcast the whole residual stream, doubling every
+                # activation (the T=8 spatial step's f32 640x480 stage maps)
+                dtype=self.dtype, param_dtype=jnp.float32, name=name,
             )
 
         identity = x
@@ -63,7 +68,12 @@ class Bottleneck(nn.Module):
             return nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 axis_name=self.axis_name if self.norm_type == "sync_batch" else None,
-                dtype=jnp.float32, name=name,
+                # mixed-precision policy: statistics/params stay f32 (flax
+                # computes norm stats in f32 internally), but the RETURN
+                # dtype follows the module — a jnp.float32 return here
+                # silently upcast the whole residual stream, doubling every
+                # activation (the T=8 spatial step's f32 640x480 stage maps)
+                dtype=self.dtype, param_dtype=jnp.float32, name=name,
             )
 
         identity = x
@@ -98,7 +108,8 @@ class ResNetStages(nn.Module):
     use_first_pool: bool = True
     norm_type: str = "batch"
     axis_name: Optional[str] = None
-    # compute dtype for convs (mixed precision: norms stay f32, params f32)
+    # compute dtype for convs AND the activation stream (mixed precision:
+    # norm statistics/params stay f32; returns follow this dtype)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -111,7 +122,7 @@ class ResNetStages(nn.Module):
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             axis_name=self.axis_name if self.norm_type == "sync_batch" else None,
-            dtype=jnp.float32, name="bn1",
+            dtype=self.dtype, param_dtype=jnp.float32, name="bn1",
         )(x)
         x = nn.relu(x)
         feats = [x]

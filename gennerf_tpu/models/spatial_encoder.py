@@ -46,8 +46,12 @@ def _resize_bilinear_align_corners(x: jnp.ndarray, out_hw) -> jnp.ndarray:
     x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, W - 1)
     y1 = jnp.clip(y0 + 1, 0, H - 1)
     x1 = jnp.clip(x0 + 1, 0, W - 1)
-    wy = (ys - y0)[None, :, None, None]
-    wx = (xs - x0)[None, None, :, None]
+    # weights in the INPUT dtype: f32 weights would silently promote bf16
+    # feature maps to f32 — at 640x480x512ch per frame that doubling of
+    # the upsampled stage maps is what pushed the T=8 spatial step past
+    # 16 GB (they are the largest remat-boundary residuals)
+    wy = (ys - y0).astype(x.dtype)[None, :, None, None]
+    wx = (xs - x0).astype(x.dtype)[None, None, :, None]
     g = x[:, y0][:, :, x0]
     gx1 = x[:, y0][:, :, x1]
     gy1 = x[:, y1][:, :, x0]

@@ -32,10 +32,11 @@ class VoxelNet(nn.Module):
     def setup(self):
         s = self.cfg.encoder.spatial
         # remat: recompute the 2D backbone's activations in backward — at
-        # (B*T) folded frames they are the largest activation block
+        # (B*T) folded frames they are the largest activation block. With
+        # frame_chunk the remat boundary moves out to the chunk fold.
         spatial_cls = (
             nn.remat(SpatialEncoder, static_argnums=(2,))
-            if self.cfg.remat else SpatialEncoder
+            if (self.cfg.remat and not s.frame_chunk) else SpatialEncoder
         )
         self.spatial = spatial_cls(
             backbone=s.backbone,
@@ -99,15 +100,21 @@ class VoxelNet(nn.Module):
         B, T = projection.shape[:2]
         chunk = cfg.encoder.spatial.frame_chunk
         if 0 < chunk < T:
+            # whole chunk (2D encode + backproject) is one remat region:
+            # only the (C, V) volume contribution becomes a residual (see
+            # GenNerf.encode for the measured motivation)
+            def chunk_fold(mdl, imgs_c, proj_c, origin_):
+                return backproject_fold(
+                    mdl.spatial(imgs_c, train), proj_c, image.shape[-2:],
+                    voxel_dim, cfg.voxel_size, origin_, remat=False,
+                )
+
+            fold = nn.remat(chunk_fold) if cfg.remat else chunk_fold
             volume = valid = None
             for t0 in range(0, T, chunk):
                 t1 = min(t0 + chunk, T)
                 imgs_c = image[:, t0:t1].reshape(B * (t1 - t0), *image.shape[2:])
-                v, m = backproject_fold(
-                    self.spatial(imgs_c, train), projection[:, t0:t1],
-                    image.shape[-2:], voxel_dim, cfg.voxel_size, origin,
-                    remat=cfg.remat,
-                )
+                v, m = fold(self, imgs_c, projection[:, t0:t1], origin)
                 volume = v if volume is None else volume + v
                 valid = m if valid is None else valid + m
             return VolumeRepr(volume, valid)
