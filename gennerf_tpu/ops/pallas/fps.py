@@ -101,11 +101,18 @@ def fps_pallas_supported(B: int, N: int, npoint: int = 128) -> bool:
     """TPU layout constraints for the kernel: (B, N) and the (B, npoint)
     output tile on (8, 128), and the resident working set (~6 B·N f32
     arrays) within VMEM. Unaligned npoint falls back to the XLA loop —
-    only the flagship-style 128-multiples are validated on hardware."""
+    only the flagship-style 128-multiples are validated on hardware.
+
+    The B*N bound is STRICT: at exactly B*N = 1<<19 (observed at batch
+    B=4, BT=32 frames x 16384 presample) the remote Mosaic toolchain
+    crashes outright (tpu_compile_helper exit 1 — the round-4
+    'deterministic B=4 compile crash', root-caused round 5 by bisecting
+    with GENNERF_FPS_PALLAS=0: the same step compiles and runs on the
+    XLA FPS path at 41.7 ms). B*N = 3<<17 (BT=24) compiles and runs."""
     return (
         B % 8 == 0
         and 128 <= N <= 32768
         and N % 128 == 0
-        and B * N <= 1 << 19
+        and B * N < 1 << 19
         and npoint % 128 == 0
     )

@@ -527,6 +527,11 @@ class TestPallasFPS:
         assert not fps_pallas_supported(8, 100, 512)   # lane misfit
         assert not fps_pallas_supported(8, 4096, 100)  # npoint misfit
         assert not fps_pallas_supported(8, 1 << 20, 512)  # VMEM blowout
+        # B*N bound is STRICT: B*N == 1<<19 (batch B=4: 32 frames x 16384
+        # presample) crashes the remote Mosaic toolchain — root-caused
+        # round 5; B*N = 3<<17 (BT=24) measured working
+        assert fps_pallas_supported(24, 16384, 512)
+        assert not fps_pallas_supported(32, 16384, 512)
 
 
 def test_point_tsdf_fn_matches_decode_and_renders(rng):
