@@ -55,7 +55,14 @@ class CheckpointManager:
         # so the latest ranked checkpoint is always retained and no
         # separate slot is needed.
         self._last_mgr: Optional[ocp.CheckpointManager] = None
-        if monitor:
+        # open the "last" slot when this run WRITES it (monitor set) and
+        # ALSO when a previous run left one on disk: the resume paths
+        # (scripts/train.py / loop.fit ckpt_path=...) construct a
+        # monitor-less manager, and a monitored run that never validated
+        # (or was preempted before its first val) has its ONLY durable
+        # state in last/ — without this, resume raised "no checkpoint"
+        # at a directory that visibly contained one
+        if monitor or os.path.isdir(os.path.join(self.directory, "last")):
             self._last_mgr = ocp.CheckpointManager(
                 os.path.join(self.directory, "last"),
                 options=ocp.CheckpointManagerOptions(max_to_keep=1, create=True),

@@ -47,7 +47,11 @@ train_resumable() {
     local last_epoch
     last_epoch=$(grep -oE "^.*epoch ([0-9]+):" "$log" | grep -oE "epoch [0-9]+" | tail -1)
     note "[$name] try $try rc=$rc (${last_epoch:-no epochs logged})"
-    [ $rc -ne 124 ] && break
+    # resume on timeout (124) AND on host OOM-kill (137): the axon client
+    # leaks ~40 MB of host RSS per step, so multi-hundred-epoch drives
+    # get OOM-killed around epoch ~380 — the every-epoch checkpoint +
+    # resume machinery absorbs both
+    { [ $rc -ne 124 ] && [ $rc -ne 137 ]; } && break
     try=$((try + 1))
     [ $try -gt "$tries" ] && { note "[$name] gave up after $tries tries (still rc=124)"; break; }
     note "[$name] timed out; resuming from $out/checkpoints (try $try)"

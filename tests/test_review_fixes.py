@@ -40,6 +40,24 @@ class TestLastSlotRetention:
         assert mgr.best_epoch() == 0
         mgr.close()
 
+    def test_monitorless_reopen_sees_last_slot(self, tmp_path):
+        """Round-5 regression: a monitored run that never validated has its
+        only durable state in the last/ slot; the RESUME path constructs a
+        monitor-less CheckpointManager (scripts/train.py, loop.fit), which
+        used to ignore last/ entirely and raise 'no checkpoint' at a
+        directory that visibly contained one."""
+        from gennerf_tpu.train.checkpoints import CheckpointManager
+
+        mgr = CheckpointManager(str(tmp_path / "ck"), save_top_k=3,
+                                monitor="val_loss", mode="min")
+        mgr.save(29, _state(29.0), metrics=None, wait=True)  # no val yet
+        mgr.close()
+        reopened = CheckpointManager(str(tmp_path / "ck"))  # resume path
+        assert reopened.latest_epoch() == 29
+        restored = reopened.restore(_state(-1.0))
+        np.testing.assert_allclose(np.asarray(restored.params["w"]), [29.0, 29.0])
+        reopened.close()
+
     def test_newest_ranked_epoch_survives_when_outside_topk(self, tmp_path):
         from gennerf_tpu.train.checkpoints import CheckpointManager
 
