@@ -19,7 +19,11 @@ import jax.numpy as jnp
 
 
 def segment_sum(values: jnp.ndarray, index: jnp.ndarray, num_segments: int) -> jnp.ndarray:
-    """Batched segment sum.
+    """Batched segment sum. ACCUMULATES IN f32 and returns the input dtype:
+    summing hundreds/thousands of bf16 contributions per plane cell in bf16
+    loses ~8 bits per doubling of the segment population — under bf16-mixed
+    this is the pointnet triplane's whole information channel. f32 inputs
+    are bit-unchanged.
 
     Args:
         values: (B, N, C).
@@ -28,7 +32,10 @@ def segment_sum(values: jnp.ndarray, index: jnp.ndarray, num_segments: int) -> j
     Returns:
         (B, num_segments, C).
     """
-    return jax.vmap(lambda v, i: jax.ops.segment_sum(v, i, num_segments))(values, index)
+    acc = jax.vmap(
+        lambda v, i: jax.ops.segment_sum(v.astype(jnp.float32), i, num_segments)
+    )(values, index)
+    return acc.astype(values.dtype)
 
 
 def segment_count(index: jnp.ndarray, num_segments: int) -> jnp.ndarray:
